@@ -1,0 +1,89 @@
+"""Typed configuration for the whole pipeline.
+
+The reference scatters its configuration across module constants and keyword
+defaults (reference: Neuro-Alpha-App/Utilities/tester.py:17-20,78-85,
+Frontend/app.py:36-40). Here it is one set of frozen dataclasses, hashable so
+they can be closed over by jit as static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# Class index order is the behavioral contract fixed by the shipped
+# checkpoint head (reference: SURVEY.md §2.4): 0=Food, 1=Water, 2=Background.
+THREE_CLASS_NAMES: Tuple[str, ...] = ("Food", "Water", "BG-Noise")
+# The five-class variant re-adds yes/no (reference: readme.md:52,70 dropped
+# them for confusion; BASELINE.json configs ask for the 5-class retrain).
+FIVE_CLASS_NAMES: Tuple[str, ...] = ("Food", "Water", "BG-Noise", "Yes", "No")
+
+# Filename prefixes in EEG_data_collection/ -> class index, per class set.
+THREE_CLASS_PREFIXES: Tuple[str, ...] = ("food", "water", "backgroundnoise")
+FIVE_CLASS_PREFIXES: Tuple[str, ...] = ("food", "water", "backgroundnoise", "yes", "no")
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterConfig:
+    """Kuramoto-phase spatial filter ("MindsAI") configuration.
+
+    `lambd` is the tailoring lambda; the production inference path uses
+    1.25e-29 (reference: tester.py:84) while the vendored filter's default is
+    1e-25 (reference: MindsAI/mindsai_filter_python/core.py:10). `renorm`
+    follows the reference's "diag" renormalization with eps clip 1e-12
+    (core.py:27-31).
+    """
+
+    lambd: float = 1.25e-29
+    renorm: str = "diag"  # "diag" | "none"
+    eps: float = 1e-12
+    # "highest": compute the phase/operator algebra in float64 when the
+    # backend supports it (CPU tests; bit-faithfulness target).
+    # "fast": float32 end to end (TPU throughput path).
+    precision: str = "highest"
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """LSTM decoder hyperparameters.
+
+    Mirrors the shipped checkpoint contract (reference: lstm_eeg_model.py:14,
+    tester.py:78-85): input 8, hidden 48, 2 layers, 3 classes, dropout 0.60
+    between LSTM layers and in the MLP head, attention pooling + LayerNorm +
+    Linear(48,32) -> RReLU -> Dropout -> Linear(32,classes).
+    """
+
+    input_size: int = 8
+    hidden_size: int = 48
+    num_layers: int = 2
+    num_classes: int = 3
+    dropout: float = 0.60
+    # torch nn.RReLU bounds; eval mode uses the deterministic mean slope
+    # (1/8 + 1/3) / 2, train mode samples U(lower, upper) per element.
+    rrelu_lower: float = 1.0 / 8.0
+    rrelu_upper: float = 1.0 / 3.0
+    layernorm_eps: float = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end pipeline configuration (device + window geometry)."""
+
+    sample_rate: int = 125  # Hz, Neuropawn Knight board
+    num_channels: int = 8
+    window_seconds: float = 5.0
+    trials: int = 10  # windows averaged per snapshot (reference: tester.py:31)
+    class_names: Tuple[str, ...] = THREE_CLASS_NAMES
+    filter: FilterConfig = dataclasses.field(default_factory=FilterConfig)
+    decoder: DecoderConfig = dataclasses.field(default_factory=DecoderConfig)
+
+    @property
+    def window_samples(self) -> int:
+        return max(1, int(self.window_seconds * self.sample_rate))
+
+
+def five_class_pipeline() -> PipelineConfig:
+    return PipelineConfig(
+        class_names=FIVE_CLASS_NAMES,
+        decoder=DecoderConfig(num_classes=5),
+    )

@@ -1,0 +1,195 @@
+"""EEG LSTM decoder — reference-parity model family, TPU-first.
+
+Behavioral spec (reference: Neuro-Alpha-App/Utilities/lstm_eeg_model.py:13-39):
+  x [B, T, C=8]
+  -> 2-layer LSTM (hidden 48, batch_first, dropout 0.60 *between* layers,
+     torch gate order i, f, g, o)
+  -> per-timestep attention score Linear(48, 1), softmax over T,
+     attention-weighted sum pooling                     [B, 48]
+  -> LayerNorm(48)
+  -> Linear(48, 32) -> RReLU -> Dropout(0.60) -> Linear(32, classes)
+
+TPU mapping: the input projection of every LSTM layer is hoisted out of the
+recurrence into ONE [B*T, in] x [in, 4H] matmul (MXU-friendly, amortized
+over the whole sequence); the `lax.scan` body then only carries the small
+[B, H] x [H, 4H] recurrent matmul plus fused elementwise gate math. No
+Python-level time loop, static shapes throughout, batch axis is the
+sharding axis for data parallelism.
+
+RReLU semantics: torch eval mode is the deterministic slope
+(lower + upper) / 2 = (1/8 + 1/3) / 2 = 11/48 for negatives; train mode
+samples the slope U(lower, upper) per element (used by train/).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neural_speech_decoding_tpu.config import DecoderConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization (torch-default compatible: U(-1/sqrt(fan), 1/sqrt(fan)))
+# ---------------------------------------------------------------------------
+def _uniform(rng, shape, bound):
+    return jax.random.uniform(rng, shape, jnp.float32, -bound, bound)
+
+
+def init_decoder_params(rng: jax.Array, config: DecoderConfig) -> Params:
+    h = config.hidden_size
+    keys = jax.random.split(rng, 4 * config.num_layers + 8)
+    k = iter(range(len(keys)))
+
+    layers = []
+    bound = 1.0 / jnp.sqrt(h)
+    for l in range(config.num_layers):
+        in_size = config.input_size if l == 0 else h
+        layers.append(
+            {
+                "w_ih": _uniform(keys[next(k)], (in_size, 4 * h), bound),
+                "w_hh": _uniform(keys[next(k)], (h, 4 * h), bound),
+                # two torch bias vectors folded into one (their sum is what
+                # the cell uses); init as the sum of two U(-bound, bound)
+                "b": _uniform(keys[next(k)], (4 * h,), bound)
+                + _uniform(keys[next(k)], (4 * h,), bound),
+            }
+        )
+
+    def linear(key, fan_in, fan_out):
+        kw, kb = jax.random.split(key)
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return {
+            "w": _uniform(kw, (fan_in, fan_out), bound),
+            "b": _uniform(kb, (fan_out,), bound),
+        }
+
+    attn = linear(keys[next(k)], h, 1)
+    return {
+        "lstm": layers,
+        "attn": {"w": attn["w"].reshape(-1), "b": attn["b"].reshape(())},
+        "ln": {"scale": jnp.ones((h,), jnp.float32), "bias": jnp.zeros((h,), jnp.float32)},
+        "fc1": linear(keys[next(k)], h, 32),
+        "fc2": linear(keys[next(k)], 32, config.num_classes),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+def _lstm_layer(
+    layer: Params,
+    x_btc: jnp.ndarray,
+    precision,
+) -> jnp.ndarray:
+    """One LSTM layer over the full sequence. [B, T, in] -> [B, T, H]."""
+    b, t, _ = x_btc.shape
+    h_dim = layer["w_hh"].shape[0]
+
+    # Hoisted input projection: one big MXU matmul for all timesteps.
+    xp = (
+        jnp.einsum("bti,ih->bth", x_btc, layer["w_ih"], precision=precision)
+        + layer["b"]
+    )
+    xp_tbh = jnp.transpose(xp, (1, 0, 2))  # time-major for scan
+
+    w_hh = layer["w_hh"]
+
+    def step(carry: Tuple[jnp.ndarray, jnp.ndarray], xp_t: jnp.ndarray):
+        h, c = carry
+        gates = xp_t + jnp.matmul(h, w_hh, precision=precision)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)  # torch gate order i,f,g,o
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    init = (
+        jnp.zeros((b, h_dim), x_btc.dtype),
+        jnp.zeros((b, h_dim), x_btc.dtype),
+    )
+    _, hs = jax.lax.scan(step, init, xp_tbh)
+    return jnp.transpose(hs, (1, 0, 2))  # back to [B, T, H]
+
+
+def _rrelu(
+    x: jnp.ndarray,
+    config: DecoderConfig,
+    train: bool,
+    rng: Optional[jax.Array],
+) -> jnp.ndarray:
+    if train:
+        slope = jax.random.uniform(
+            rng, x.shape, x.dtype, config.rrelu_lower, config.rrelu_upper
+        )
+    else:
+        slope = jnp.asarray(
+            (config.rrelu_lower + config.rrelu_upper) / 2.0, x.dtype
+        )
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def decoder_apply(
+    params: Params,
+    x_btc: jnp.ndarray,
+    config: DecoderConfig = DecoderConfig(),
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Logits for a batch of windows. [B, T, C] f32 -> [B, classes] f32."""
+    if train and rng is None:
+        raise ValueError("train=True requires rng")
+    x = x_btc.astype(jnp.float32)
+
+    n_layers = len(params["lstm"])
+    rngs = jax.random.split(rng, n_layers + 2) if train else [None] * (n_layers + 2)
+
+    out = x
+    for l, layer in enumerate(params["lstm"]):
+        out = _lstm_layer(layer, out, precision)
+        if train and config.dropout > 0 and l < n_layers - 1:
+            # torch applies inter-layer dropout to every layer output except
+            # the last one (nn.LSTM dropout semantics).
+            keep = 1.0 - config.dropout
+            mask = jax.random.bernoulli(rngs[l], keep, out.shape)
+            out = jnp.where(mask, out / keep, 0.0)
+
+    # Attention pooling over time.
+    scores = jnp.einsum("bth,h->bt", out, params["attn"]["w"], precision=precision)
+    scores = scores + params["attn"]["b"]
+    weights = jax.nn.softmax(scores, axis=1)
+    pooled = jnp.einsum("bth,bt->bh", out, weights, precision=precision)
+
+    # LayerNorm (torch: biased variance, eps inside sqrt).
+    mean = jnp.mean(pooled, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(pooled - mean), axis=-1, keepdims=True)
+    normed = (pooled - mean) / jnp.sqrt(var + config.layernorm_eps)
+    normed = normed * params["ln"]["scale"] + params["ln"]["bias"]
+
+    hidden = (
+        jnp.matmul(normed, params["fc1"]["w"], precision=precision)
+        + params["fc1"]["b"]
+    )
+    hidden = _rrelu(hidden, config, train, rngs[-2] if train else None)
+    if train and config.dropout > 0:
+        keep = 1.0 - config.dropout
+        mask = jax.random.bernoulli(rngs[-1], keep, hidden.shape)
+        hidden = jnp.where(mask, hidden / keep, 0.0)
+    return (
+        jnp.matmul(hidden, params["fc2"]["w"], precision=precision)
+        + params["fc2"]["b"]
+    )
+
+
+def decoder_logits(params: Params, x_btc: jnp.ndarray, config: DecoderConfig = DecoderConfig()):
+    """Eval-mode logits (the inference path)."""
+    return decoder_apply(params, x_btc, config, train=False)

@@ -1,0 +1,68 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices (multi-chip sharding is validated on
+a host-platform mesh; real TPU runs happen in bench.py) and with x64 enabled
+so the float64 fidelity path matches the reference numerics natively.
+Environment must be set before jax is first imported.
+"""
+
+import os
+
+# Force CPU: the session env pins JAX_PLATFORMS to the TPU tunnel ("axon"),
+# but tests run on the virtual 8-device host platform (override with
+# NSD_TEST_PLATFORM to exercise real hardware). jax may already be imported
+# by a pytest plugin, so config.update (not env vars) is the reliable path.
+_platform = os.environ.get("NSD_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
+if _platform == "cpu":
+    jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)
+
+from pathlib import Path  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+REFERENCE_DATA = Path("/root/reference/EEG_data_collection")
+REFERENCE_CKPT = Path(
+    "/root/reference/Neuro-Alpha-App/Utilities/LSTM_Model/"
+    "lstm_classifier_Water_Food_Bg_Noise.pth"
+)
+GOLDEN_DIR = REPO_ROOT / "tests" / "golden"
+
+
+@pytest.fixture(scope="session")
+def data_dir() -> Path:
+    if not REFERENCE_DATA.is_dir():
+        pytest.skip("reference EEG_data_collection not mounted")
+    return REFERENCE_DATA
+
+
+@pytest.fixture(scope="session")
+def checkpoint_path() -> Path:
+    if not REFERENCE_CKPT.is_file():
+        pytest.skip("reference checkpoint not mounted")
+    return REFERENCE_CKPT
+
+
+@pytest.fixture(scope="session")
+def golden(checkpoint_path) -> dict:
+    """Reference torch probabilities/logits for all trials (generated once
+    by tools/make_golden.py and committed to tests/golden/)."""
+    path = GOLDEN_DIR / "reference_probs.npz"
+    if not path.is_file():
+        pytest.skip("golden file missing — run tools/make_golden.py")
+    with np.load(path, allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+@pytest.fixture(scope="session")
+def dataset(data_dir):
+    from neural_speech_decoding_tpu.io.dataset import load_trials
+
+    return load_trials(data_dir)

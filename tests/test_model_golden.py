@@ -1,0 +1,60 @@
+"""Golden fidelity tests: JAX pipeline vs. the reference torch checkpoint.
+
+BASELINE.md target: class probabilities matching the PyTorch reference to
+<=1e-4 logit delta on every shipped trial.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from neural_speech_decoding_tpu.config import DecoderConfig, FilterConfig
+from neural_speech_decoding_tpu.io.checkpoint import load_decoder_params
+from neural_speech_decoding_tpu.models.lstm import decoder_logits
+from neural_speech_decoding_tpu.ops.kuramoto import mai_filter_batch
+
+
+@pytest.fixture(scope="module")
+def params(checkpoint_path):
+    return load_decoder_params(checkpoint_path)
+
+
+def test_logits_golden_all_trials(params, dataset, golden):
+    assert list(golden["files"]) == list(dataset.files)
+    filtered = np.asarray(mai_filter_batch(dataset.windows, FilterConfig()))
+    logits = np.asarray(
+        jax.jit(lambda x: decoder_logits(params, x, DecoderConfig()))(filtered)
+    )
+    delta = np.abs(logits - golden["logits"]).max()
+    assert delta <= 1e-4, f"max logit delta {delta:.3e} > 1e-4"
+
+    probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+    pdelta = np.abs(probs - golden["probs"]).max()
+    assert pdelta <= 1e-4, f"max prob delta {pdelta:.3e} > 1e-4"
+
+    # identical predicted classes on every trial
+    assert (probs.argmax(1) == golden["probs"].argmax(1)).all()
+
+
+def test_single_window_matches_batch(params, dataset):
+    filtered = np.asarray(mai_filter_batch(dataset.windows[:4], FilterConfig()))
+    batch = np.asarray(decoder_logits(params, filtered))
+    one = np.asarray(decoder_logits(params, filtered[1:2]))[0]
+    np.testing.assert_allclose(one, batch[1], rtol=1e-5, atol=1e-6)
+
+
+def test_random_init_forward_shape():
+    cfg = DecoderConfig()
+    from neural_speech_decoding_tpu.models.lstm import init_decoder_params
+
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 625, 8), jnp_dtype())
+    out = decoder_logits(params, x, cfg)
+    assert out.shape == (3, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def jnp_dtype():
+    import jax.numpy as jnp
+
+    return jnp.float32
