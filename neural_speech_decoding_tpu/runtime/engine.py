@@ -1,0 +1,111 @@
+"""Inference engine: compile-once, batched, device-resident decoding.
+
+Replaces the reference's SimplePredictor (reference: lstm_eeg_model.py:42-101)
+with a TPU-first design:
+
+  * the whole window->probabilities pipeline (Kuramoto filter -> LSTM ->
+    softmax) is ONE jitted function — XLA fuses the elementwise chains and
+    keeps everything on device,
+  * batch sizes are bucketed to powers of two so arbitrary request sizes hit
+    a small set of compiled executables (static shapes, no recompiles),
+  * parameters are transferred once and live in device memory,
+  * dispatch is asynchronous — callers overlap host acquisition with device
+    compute for free; `predict` blocks only to read the result back.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_speech_decoding_tpu.config import DecoderConfig, FilterConfig, PipelineConfig
+from neural_speech_decoding_tpu.io.checkpoint import load_decoder_params
+from neural_speech_decoding_tpu.models.lstm import decoder_apply
+from neural_speech_decoding_tpu.ops.kuramoto import mai_filter
+
+
+def _bucket(n: int) -> int:
+    return 1 << max(0, math.ceil(math.log2(n)))
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        *,
+        params=None,
+        config: Optional[PipelineConfig] = None,
+        class_names: Optional[Sequence[str]] = None,
+        sample_rate: Optional[int] = None,
+        donate: bool = False,
+    ):
+        if params is None:
+            if model_path is None:
+                raise ValueError("need model_path or params")
+            params = load_decoder_params(model_path)
+        config = config or PipelineConfig()
+        if sample_rate is not None and sample_rate != config.sample_rate:
+            # reference quirk: the predictor adopts the *stream's* reported
+            # sample rate (tester.py:70-75); the filter is sr-independent so
+            # this only affects window geometry bookkeeping.
+            config = PipelineConfig(
+                sample_rate=int(sample_rate),
+                num_channels=config.num_channels,
+                window_seconds=config.window_seconds,
+                trials=config.trials,
+                class_names=config.class_names,
+                filter=config.filter,
+                decoder=config.decoder,
+            )
+        self.config = config
+        self.class_names = tuple(class_names or config.class_names)
+        self.params = jax.device_put(params)
+
+        filter_cfg: FilterConfig = config.filter
+        decoder_cfg: DecoderConfig = config.decoder
+
+        def _pipeline(p, windows_btc: jnp.ndarray) -> jnp.ndarray:
+            filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
+            logits = decoder_apply(p, filtered, decoder_cfg, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._pipeline = jax.jit(_pipeline)
+        self._compiled_buckets: Dict[int, bool] = {}
+
+    # -- public API -----------------------------------------------------
+    def warmup(self, batch_sizes: Sequence[int] = (1,)) -> None:
+        t, c = self.config.window_samples, self.config.num_channels
+        for b in batch_sizes:
+            b = _bucket(b)
+            if b in self._compiled_buckets:
+                continue
+            dummy = jnp.zeros((b, t, c), jnp.float32)
+            np.asarray(self._pipeline(self.params, dummy))
+            self._compiled_buckets[b] = True
+
+    def predict_batch(self, windows_btc: np.ndarray) -> np.ndarray:
+        """[B, T, C] -> probabilities [B, num_classes] (f32)."""
+        windows_btc = np.asarray(windows_btc, dtype=np.float32)
+        b = windows_btc.shape[0]
+        bb = _bucket(b)
+        if bb != b:
+            pad = np.zeros((bb - b,) + windows_btc.shape[1:], np.float32)
+            windows_btc = np.concatenate([windows_btc, pad], axis=0)
+        probs = self._pipeline(self.params, windows_btc)
+        self._compiled_buckets[bb] = True
+        return np.asarray(probs)[:b]
+
+    def predict(self, window_tc: np.ndarray) -> Tuple[np.ndarray, str]:
+        """One [T, C] window -> (probs [classes] f32, label str) — the
+        reference SimplePredictor.predict contract."""
+        probs = self.predict_batch(window_tc[None])[0]
+        return probs.astype(np.float32), self.class_names[int(np.argmax(probs))]
+
+    def predict_batch_async(self, windows_btc: jnp.ndarray):
+        """Dispatch without blocking; returns the device array future.
+        Callers pipeline acquisition against device compute."""
+        return self._pipeline(self.params, windows_btc)
