@@ -1,0 +1,164 @@
+"""Benchmark: batched EEG window decoding throughput, TPU vs reference CPU.
+
+Prints ONE JSON line:
+  {"metric": "eeg_windows_per_sec_per_chip", "value": N,
+   "unit": "windows/s/chip", "vs_baseline": N}
+
+`vs_baseline` is the ratio against the reference implementation measured on
+this host's CPU: float64 NumPy/SciPy Kuramoto filter with the reference's
+O(C^2 T) Python pair loop + batch-1 torch LSTM (reference:
+MindsAI/mindsai_filter_python/core.py:18-26, lstm_eeg_model.py:86-101) —
+i.e. exactly what the reference ships per window. BASELINE.md target:
+vs_baseline >= 100.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO_ROOT))
+
+CKPT = os.environ.get(
+    "NSD_MODEL",
+    "/root/reference/Neuro-Alpha-App/Utilities/LSTM_Model/"
+    "lstm_classifier_Water_Food_Bg_Noise.pth",
+)
+
+TPU_BATCH = int(os.environ.get("NSD_BENCH_BATCH", 4096))
+TPU_ITERS = int(os.environ.get("NSD_BENCH_ITERS", 8))
+CPU_WINDOWS = int(os.environ.get("NSD_BENCH_CPU_WINDOWS", 6))
+
+
+def _load_windows() -> np.ndarray:
+    from neural_speech_decoding_tpu.io.dataset import load_trials
+
+    try:
+        return load_trials().windows
+    except FileNotFoundError:
+        rng = np.random.default_rng(0)
+        return rng.standard_normal((179, 625, 8)).astype(np.float32)
+
+
+def cpu_reference_windows_per_sec(windows: np.ndarray) -> float:
+    """Reference pipeline per-window on CPU: f64 scipy hilbert + Python
+    pair loop + 8x8 inverse, then batch-1 torch LSTM."""
+    import torch
+    from scipy.signal import hilbert
+
+    sys.path.insert(0, str(REPO_ROOT / "tools"))
+    from make_golden import build_torch_model
+
+    model = build_torch_model(CKPT)
+    lam = 1.25e-29
+
+    def ref_filter_pair_loop(window_tc: np.ndarray) -> np.ndarray:
+        y = window_tc.astype(np.float64).T  # [C, T]
+        phases = np.angle(hilbert(y.T, axis=0))  # [T, C]
+        c = y.shape[0]
+        p = np.zeros((c, c))
+        for i in range(c):  # the reference's hot loop
+            for j in range(i + 1, c):
+                d = np.sin(phases[:, i] - phases[:, j])
+                v = np.sum(d * d)
+                p[i, j] = v
+                p[j, i] = v
+        d = np.sqrt(np.clip(np.diag(p), 1e-12, None))
+        p = p / np.outer(d, d)
+        inv = np.linalg.inv(np.eye(c) + lam * (p.T @ p))
+        return (inv @ y).T.astype(np.float32)
+
+    def ref_predict(window_tc: np.ndarray) -> np.ndarray:
+        x = ref_filter_pair_loop(window_tc)
+        with torch.inference_mode():
+            logits = model(torch.from_numpy(x[None]))
+            return torch.softmax(logits, dim=-1)[0].numpy()
+
+    for w in windows[:2]:  # warmup
+        ref_predict(w)
+    t0 = time.perf_counter()
+    for w in windows[: CPU_WINDOWS]:
+        ref_predict(w)
+    dt = time.perf_counter() - t0
+    return CPU_WINDOWS / dt
+
+
+def tpu_windows_per_sec(windows: np.ndarray) -> tuple[float, float, str]:
+    import jax
+    import jax.numpy as jnp
+
+    from neural_speech_decoding_tpu.config import DecoderConfig, FilterConfig
+    from neural_speech_decoding_tpu.io.checkpoint import load_decoder_params
+    from neural_speech_decoding_tpu.models.lstm import decoder_apply
+    from neural_speech_decoding_tpu.ops.kuramoto import mai_filter
+
+    device_kind = jax.devices()[0].device_kind
+    params = jax.device_put(load_decoder_params(CKPT))
+    filter_cfg = FilterConfig(precision="fast")
+    decoder_cfg = DecoderConfig()
+
+    @jax.jit
+    def pipeline(p, w):
+        filtered = jax.vmap(lambda x: mai_filter(x, filter_cfg))(w)
+        return jax.nn.softmax(decoder_apply(p, filtered, decoder_cfg), axis=-1)
+
+    reps = int(np.ceil(TPU_BATCH / windows.shape[0]))
+    batch = jnp.asarray(
+        np.tile(windows, (reps, 1, 1))[:TPU_BATCH], dtype=jnp.float32
+    )
+
+    # warm compile + one run
+    np.asarray(pipeline(params, batch))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(TPU_ITERS):
+        out = pipeline(params, batch)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    throughput = TPU_BATCH * TPU_ITERS / dt
+
+    # single-window (batch-1) decode latency, warm
+    one = batch[:1]
+    np.asarray(pipeline(params, one))
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        pipeline(params, one).block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lat) * 1e3)
+    return throughput, p50_ms, device_kind
+
+
+def main() -> None:
+    windows = _load_windows()
+    tpu_wps, p50_ms, device_kind = tpu_windows_per_sec(windows)
+    try:
+        cpu_wps = cpu_reference_windows_per_sec(windows)
+    except Exception as e:  # torch missing etc. — report throughput alone
+        print(f"# cpu baseline unavailable: {e}", file=sys.stderr)
+        cpu_wps = float("nan")
+    vs = tpu_wps / cpu_wps if np.isfinite(cpu_wps) else None
+    print(
+        json.dumps(
+            {
+                "metric": "eeg_windows_per_sec_per_chip",
+                "value": round(tpu_wps, 1),
+                "unit": "windows/s/chip",
+                "vs_baseline": round(vs, 1) if vs else None,
+                "cpu_reference_wps": round(cpu_wps, 2) if np.isfinite(cpu_wps) else None,
+                "batch1_p50_latency_ms": round(p50_ms, 2),
+                "batch": TPU_BATCH,
+                "device": device_kind,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

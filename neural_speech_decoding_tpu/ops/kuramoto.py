@@ -90,7 +90,10 @@ def mai_filter(
     )
 
     x = x_tc.astype(dtype)
-    phases = instantaneous_phase(x.T, axis=-1).T  # FFT over time (lane axis)
+    # FFT straight over the time axis — no transposes around the FFT; the
+    # transposed formulation trips XLA:CPU's fft thunk layout check under
+    # SPMD partitioning, and XLA handles the axis permutation internally.
+    phases = instantaneous_phase(x, axis=0)
     p = kuramoto_operator(phases, matmul_precision=mm)
     if config.renorm == "diag":
         p = _renorm_diag(p, config.eps)

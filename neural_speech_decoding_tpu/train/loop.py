@@ -1,0 +1,239 @@
+"""Training loop — reconstruction of the reference's missing trainer.
+
+The reference's training notebook is absent from its snapshot
+(`.MISSING_LARGE_BLOBS`, SURVEY.md intro); the hyperparameters that must
+hold are the inference-side ones (hidden 48, 2 layers, dropout 0.60,
+tailoring lambda — reference tester.py:73-86). This module rebuilds a
+trainer around them: optax Adam(W), softmax cross-entropy with optional
+label smoothing, train-mode dropout + RReLU sampling in the decoder, and
+data-parallel execution over a `jax.sharding.Mesh` (batch over 'dp', grads
+combined by GSPMD-inserted collectives).
+
+Windows are MAI-filtered once up front (the filter has no trainable state),
+so each epoch touches only the decoder compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from neural_speech_decoding_tpu.config import DecoderConfig, FilterConfig
+from neural_speech_decoding_tpu.models.lstm import decoder_apply, init_decoder_params
+from neural_speech_decoding_tpu.ops.kuramoto import mai_filter_batch
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    epochs: int = 60
+    batch_size: int = 32
+    label_smoothing: float = 0.0
+    grad_clip: float = 1.0
+    seed: int = 0
+    val_fraction: float = 0.2
+    # noise-injection augmentation (train/augment.py); 0 disables
+    augment_prob: float = 0.0
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+def _loss_fn(params, batch_x, batch_y, rng, decoder_cfg: DecoderConfig,
+             label_smoothing: float):
+    logits = decoder_apply(params, batch_x, decoder_cfg, train=True, rng=rng)
+    n_cls = logits.shape[-1]
+    onehot = jax.nn.one_hot(batch_y, n_cls, dtype=logits.dtype)
+    if label_smoothing > 0:
+        onehot = onehot * (1 - label_smoothing) + label_smoothing / n_cls
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    loss = -jnp.mean(jnp.sum(onehot * logp, axis=-1))
+    acc = jnp.mean((jnp.argmax(logits, -1) == batch_y).astype(jnp.float32))
+    return loss, acc
+
+
+def make_train_step(
+    decoder_cfg: DecoderConfig,
+    optimizer: optax.GradientTransformation,
+    label_smoothing: float = 0.0,
+) -> Callable:
+    """Build the jittable train step:
+    (params, opt_state, x [B,T,C], y [B], rng) -> (params, opt_state, metrics)
+    """
+
+    def step(params, opt_state, x, y, rng):
+        (loss, acc), grads = jax.value_and_grad(
+            _loss_fn, has_aux=True
+        )(params, x, y, rng, decoder_cfg, label_smoothing)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "accuracy": acc}
+
+    return step
+
+
+def make_eval_fn(decoder_cfg: DecoderConfig) -> Callable:
+    def evaluate(params, x, y, w):
+        """w: per-example weights (0 for padding rows added to make the
+        batch divisible by the data-parallel axis)."""
+        logits = decoder_apply(params, x, decoder_cfg, train=False)
+        per = -jnp.take_along_axis(
+            jax.nn.log_softmax(logits, -1), y[:, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+        loss = jnp.sum(per * w) / denom
+        acc = jnp.sum((jnp.argmax(logits, -1) == y).astype(jnp.float32) * w) / denom
+        return {"loss": loss, "accuracy": acc}
+
+    return evaluate
+
+
+def _pad_to_multiple(x: np.ndarray, m: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad axis 0 to a multiple of m (repeating row 0); returns (padded,
+    weights) with weights 0 on padding."""
+    n = x.shape[0]
+    pad = (-n) % m
+    w = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    if pad:
+        x = np.concatenate([x, np.repeat(x[:1], pad, axis=0)], axis=0)
+    return x, w
+
+
+def _optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    tx = (
+        optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+        if cfg.weight_decay > 0
+        else optax.adam(cfg.learning_rate)
+    )
+    if cfg.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+def train(
+    dataset,
+    decoder_cfg: Optional[DecoderConfig] = None,
+    train_cfg: TrainConfig = TrainConfig(),
+    filter_cfg: Optional[FilterConfig] = None,
+    mesh=None,
+    init_params=None,
+    verbose: bool = True,
+    preprocessed: Optional[np.ndarray] = None,
+) -> Tuple[Any, List[Dict[str, float]]]:
+    """Train a decoder on a TrialDataset. Returns (params, history).
+
+    With `mesh`, batches are sharded over the 'dp' axis (params replicated;
+    gradient reduction happens inside jit via GSPMD collectives).
+    """
+    decoder_cfg = decoder_cfg or DecoderConfig(num_classes=dataset.num_classes)
+    filter_cfg = filter_cfg or FilterConfig()
+
+    train_ds, val_ds = dataset.split(train_cfg.val_fraction, seed=train_cfg.seed)
+    if preprocessed is not None:
+        assert preprocessed.shape == dataset.windows.shape
+        index = {f: i for i, f in enumerate(dataset.files)}
+        x_train = np.stack([preprocessed[index[f]] for f in train_ds.files])
+        x_val = np.stack([preprocessed[index[f]] for f in val_ds.files])
+    else:
+        x_train = np.asarray(mai_filter_batch(train_ds.windows, filter_cfg))
+        x_val = np.asarray(mai_filter_batch(val_ds.windows, filter_cfg))
+    y_train = train_ds.labels.astype(np.int32)
+    y_val = val_ds.labels.astype(np.int32)
+
+    if train_cfg.augment_prob > 0:
+        from neural_speech_decoding_tpu.train.augment import augment_batch_np
+
+        x_aug, y_aug = augment_batch_np(
+            x_train, y_train, prob=train_cfg.augment_prob, seed=train_cfg.seed
+        )
+        x_train = np.concatenate([x_train, x_aug])
+        y_train = np.concatenate([y_train, y_aug])
+
+    rng = jax.random.PRNGKey(train_cfg.seed)
+    if init_params is None:
+        rng, k = jax.random.split(rng)
+        init_params = init_decoder_params(k, decoder_cfg)
+
+    optimizer = _optimizer(train_cfg)
+    opt_state = optimizer.init(init_params)
+    step_fn = make_train_step(decoder_cfg, optimizer, train_cfg.label_smoothing)
+    eval_fn = make_eval_fn(decoder_cfg)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from neural_speech_decoding_tpu.parallel.sharding import batch_sharding
+
+        repl = NamedSharding(mesh, P())
+        step_fn = jax.jit(
+            step_fn,
+            in_shardings=(repl, repl, batch_sharding(mesh), batch_sharding(mesh, 1), repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+        eval_fn = jax.jit(
+            eval_fn,
+            in_shardings=(
+                repl,
+                batch_sharding(mesh),
+                batch_sharding(mesh, 1),
+                batch_sharding(mesh, 1),
+            ),
+        )
+        params = jax.device_put(init_params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+        # pad batches to a multiple of dp
+        dp = mesh.shape["dp"]
+        bs = max(dp, (train_cfg.batch_size // dp) * dp)
+        x_val, w_val = _pad_to_multiple(x_val, dp)
+        y_val, _ = _pad_to_multiple(y_val, dp)
+    else:
+        step_fn = jax.jit(step_fn, donate_argnums=(0, 1))
+        eval_fn = jax.jit(eval_fn)
+        params = init_params
+        bs = train_cfg.batch_size
+        w_val = np.ones(x_val.shape[0], np.float32)
+
+    history: List[Dict[str, float]] = []
+    n = x_train.shape[0]
+    np_rng = np.random.default_rng(train_cfg.seed)
+    t0 = time.perf_counter()
+    for epoch in range(train_cfg.epochs):
+        perm = np_rng.permutation(n)
+        losses, accs = [], []
+        for i in range(0, n - bs + 1, bs):
+            idx = perm[i : i + bs]
+            rng, k = jax.random.split(rng)
+            params, opt_state, m = step_fn(
+                params, opt_state, x_train[idx], y_train[idx], k
+            )
+            losses.append(float(m["loss"]))
+            accs.append(float(m["accuracy"]))
+        val_m = eval_fn(params, x_val, y_val, w_val)
+        rec = {
+            "epoch": epoch,
+            "train_loss": float(np.mean(losses)) if losses else float("nan"),
+            "train_accuracy": float(np.mean(accs)) if accs else float("nan"),
+            "val_loss": float(val_m["loss"]),
+            "val_accuracy": float(val_m["accuracy"]),
+            "wall_s": time.perf_counter() - t0,
+        }
+        history.append(rec)
+        if verbose and (epoch % 10 == 0 or epoch == train_cfg.epochs - 1):
+            print(
+                f"epoch {epoch:3d} loss {rec['train_loss']:.4f} "
+                f"acc {rec['train_accuracy']:.3f} val_acc {rec['val_accuracy']:.3f}",
+                flush=True,
+            )
+    return params, history

@@ -1,0 +1,85 @@
+"""Training loop reconstruction tests."""
+
+import numpy as np
+import pytest
+
+from neural_speech_decoding_tpu.config import DecoderConfig
+from neural_speech_decoding_tpu.train.augment import KINDS, augment_batch_np, inject_noise_np
+from neural_speech_decoding_tpu.train.loop import TrainConfig, train
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(dataset):
+    """Subsample trials and truncate time so training tests run fast."""
+    import dataclasses
+
+    sub = dataset._take(np.arange(0, len(dataset), 4))
+    return dataclasses.replace(sub, windows=sub.windows[:, :96, :])
+
+
+def test_train_overfits_tiny(tiny_dataset):
+    cfg = DecoderConfig(num_classes=3, dropout=0.0)
+    params, history = train(
+        tiny_dataset,
+        decoder_cfg=cfg,
+        train_cfg=TrainConfig(epochs=12, batch_size=16, learning_rate=3e-3),
+        verbose=False,
+    )
+    assert len(history) == 12
+    # loss must decrease substantially
+    assert history[-1]["train_loss"] < history[0]["train_loss"] * 0.9
+    assert np.isfinite(history[-1]["val_loss"])
+
+
+def test_train_with_mesh(tiny_dataset):
+    from neural_speech_decoding_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(tp=1)
+    cfg = DecoderConfig(num_classes=3)
+    params, history = train(
+        tiny_dataset,
+        decoder_cfg=cfg,
+        train_cfg=TrainConfig(epochs=2, batch_size=16),
+        mesh=mesh,
+        verbose=False,
+    )
+    assert np.isfinite(history[-1]["train_loss"])
+
+
+def test_train_mode_dropout_is_stochastic(tiny_dataset):
+    """Train-mode forward must differ across rngs (dropout + RReLU live)."""
+    import jax
+
+    from neural_speech_decoding_tpu.models.lstm import decoder_apply, init_decoder_params
+
+    cfg = DecoderConfig()
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    x = tiny_dataset.windows[:4]
+    a = np.asarray(decoder_apply(params, x, cfg, train=True, rng=jax.random.PRNGKey(1)))
+    b = np.asarray(decoder_apply(params, x, cfg, train=True, rng=jax.random.PRNGKey(2)))
+    assert np.abs(a - b).max() > 1e-6
+    # eval mode is deterministic
+    c = np.asarray(decoder_apply(params, x, cfg, train=False))
+    d = np.asarray(decoder_apply(params, x, cfg, train=False))
+    np.testing.assert_array_equal(c, d)
+
+
+def test_augment_kinds(dataset):
+    rng = np.random.default_rng(0)
+    w = dataset.windows[0]
+    for kind in KINDS:
+        out = inject_noise_np(w, kind, rng)
+        assert out.shape == w.shape
+        assert np.isfinite(out).all()
+        if kind != "flatline":
+            assert np.abs(out - w).max() > 0
+    with pytest.raises(ValueError, match="unknown noise kind"):
+        inject_noise_np(w, "nope", rng)
+
+
+def test_augment_batch(dataset):
+    x = dataset.windows[:20]
+    y = dataset.labels[:20]
+    xa, ya = augment_batch_np(x, y, prob=0.5, seed=0)
+    assert xa.shape[0] == ya.shape[0]
+    assert 0 < xa.shape[0] <= 20
