@@ -1,0 +1,129 @@
+"""Headless data-collection experiment.
+
+The reference's collector is a PsychoPy Builder program (reference:
+Neural_decoding_data_collector.py, DataCollectionExperiment.psyexp): per
+trial a 0.5 s beep, 4 s of word display (imagination), 1.5 s cool-off; the
+recording flag rises as the word disappears so the captured 625 samples
+span roughly beep + imagination; words come from a fullRandom TrialHandler
+over {water, food, yes, no} x nReps.
+
+This module reproduces the *data-producing* semantics headlessly (the
+stimulus GUI is display-side and out of decode scope): same trial schedule,
+same fullRandom word order, same rising-edge capture of the last 625
+samples, same filter chain + CSV format via collector.chain. A `speed`
+multiplier compresses the schedule together with an accelerated board so a
+full session runs in seconds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from neural_speech_decoding_tpu.collector.chain import record_trial
+
+DEFAULT_WORDS = ("water", "food", "yes", "no")  # reference: words.csv
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    words: Sequence[str] = DEFAULT_WORDS
+    n_reps: int = 10  # reference NUMBER_OF_REPS (a string "10" there)
+    beep_seconds: float = 0.5
+    word_seconds: float = 4.0
+    cooloff_seconds: float = 1.5
+    window_samples: int = 625
+    warmup_seconds: float = 25.0  # reference: collector :244-249
+    seed: int = 0
+
+    @property
+    def trial_seconds(self) -> float:
+        return self.beep_seconds + self.word_seconds + self.cooloff_seconds
+
+
+def full_random_order(config: ExperimentConfig) -> List[str]:
+    """PsychoPy fullRandom: every (word, rep) pair shuffled globally."""
+    rng = np.random.default_rng(config.seed)
+    pool = [w for w in config.words for _ in range(config.n_reps)]
+    return [pool[i] for i in rng.permutation(len(pool))]
+
+
+def run_experiment(
+    board,
+    out_dir,
+    config: ExperimentConfig = ExperimentConfig(),
+    speed: Optional[float] = None,
+    on_trial: Optional[Callable[[int, str, Optional[Path]], None]] = None,
+) -> List[Path]:
+    """Run a full collection session against a (started) board.
+
+    The board must already be prepared + streaming. `speed` defaults to the
+    board's own speed so schedule time and sample time stay consistent.
+    Returns the list of written CSV paths.
+    """
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    speed = float(speed if speed is not None else getattr(board, "speed", 1.0))
+    scale = 1.0 / speed
+
+    fs = board.get_sampling_rate(board.get_board_id())
+    # warm-up: let the ring buffer fill past one window
+    t_deadline = time.time() + max(1.0, config.warmup_seconds * scale) + 10.0
+    while (
+        board.get_board_data_count() < config.window_samples
+        and time.time() < t_deadline
+    ):
+        time.sleep(0.01)
+
+    paths: List[Path] = []
+    order = full_random_order(config)
+    for i, word in enumerate(order):
+        # beep + word display: recording flag low (reference keeps the flag
+        # False while the word is on screen, collector :600)
+        time.sleep((config.beep_seconds + config.word_seconds) * scale)
+        # rising edge at word offset: capture last 625 samples
+        path = record_trial(
+            board, word, out_dir, window_samples=config.window_samples, fs=fs
+        )
+        if path is not None:
+            paths.append(path)
+        if on_trial is not None:
+            on_trial(i, word, path)
+        time.sleep(config.cooloff_seconds * scale)
+    return paths
+
+
+def main() -> None:
+    import argparse
+
+    from neural_speech_decoding_tpu.runtime.board import open_board
+
+    ap = argparse.ArgumentParser(description="Headless collection session")
+    ap.add_argument("--board", default="synthetic")
+    ap.add_argument("--out", default="new_data")
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--speed", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    board = open_board(args.board, speed=args.speed)
+    board.prepare_session()
+    board.start_stream()
+    try:
+        cfg = ExperimentConfig(n_reps=args.reps, seed=args.seed)
+        paths = run_experiment(
+            board, args.out, cfg,
+            on_trial=lambda i, w, p: print(f"trial {i:03d} word={w} -> {p}"),
+        )
+        print(f"wrote {len(paths)} trials to {args.out}")
+    finally:
+        board.stop_stream()
+        board.release_session()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Collector chain + headless experiment tests."""
+
+import time
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from neural_speech_decoding_tpu.collector.chain import (
+    preprocess_trial,
+    record_trial,
+    write_trial_csv,
+)
+from neural_speech_decoding_tpu.collector.experiment import (
+    ExperimentConfig,
+    full_random_order,
+    run_experiment,
+)
+from neural_speech_decoding_tpu.io.dataset import load_trials
+from neural_speech_decoding_tpu.runtime.board import SyntheticBoard
+
+
+def test_preprocess_trial_format():
+    rng = np.random.default_rng(0)
+    raw = rng.standard_normal((625, 8)) * 10 + 3
+    out = preprocess_trial(raw)
+    assert out.shape == (625, 8)
+    # rounded to 7 decimals
+    np.testing.assert_array_equal(out, np.round(out, 7))
+    # no negative zeros survive
+    assert not np.any((out == 0.0) & np.signbit(out))
+    # detrended: means near zero
+    assert np.abs(out.mean(axis=0)).max() < 0.5
+
+
+def test_write_trial_csv_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    data = np.round(rng.standard_normal((625, 8)), 7)
+    path = tmp_path / "food_test.csv"
+    write_trial_csv(path, data)
+    text = path.read_text().strip().split("\n")
+    assert len(text) == 625
+    assert len(text[0].split(",")) == 8
+    back = np.loadtxt(path, delimiter=",")
+    np.testing.assert_allclose(back, data, atol=1e-7)
+
+
+def test_record_trial_from_board(tmp_path):
+    board = SyntheticBoard(speed=64.0)
+    board.prepare_session()
+    board.start_stream(5000)
+    try:
+        deadline = time.time() + 10
+        while board.get_board_data_count() < 625 and time.time() < deadline:
+            time.sleep(0.01)
+        path = record_trial(board, "water", tmp_path)
+    finally:
+        board.stop_stream()
+        board.release_session()
+    assert path is not None
+    assert path.name.startswith("water_")
+    # written trial is loadable by the dataset loader
+    ds = load_trials(tmp_path, class_prefixes=("food", "water"))
+    assert ds.windows.shape == (1, 625, 8)
+    assert ds.labels[0] == 1
+
+
+def test_full_random_order_is_balanced_permutation():
+    cfg = ExperimentConfig(n_reps=5, seed=3)
+    order = full_random_order(cfg)
+    assert len(order) == 20
+    assert Counter(order) == {w: 5 for w in cfg.words}
+    assert order != full_random_order(ExperimentConfig(n_reps=5, seed=4))
+
+
+def test_run_experiment_headless(tmp_path):
+    board = SyntheticBoard(speed=256.0)
+    board.prepare_session()
+    board.start_stream(20000)
+    seen = []
+    try:
+        cfg = ExperimentConfig(n_reps=1, warmup_seconds=0.0, seed=0)
+        paths = run_experiment(
+            board, tmp_path, cfg,
+            on_trial=lambda i, w, p: seen.append((i, w)),
+        )
+    finally:
+        board.stop_stream()
+        board.release_session()
+    assert len(paths) == 4  # 4 words x 1 rep
+    assert len(seen) == 4
+    ds = load_trials(tmp_path, class_prefixes=("food", "water", "yes", "no"))
+    assert ds.windows.shape == (4, 625, 8)
+    # the written text uses the reference's "%.7f" format
+    first_line = paths[0].read_text().split("\n", 1)[0]
+    for tok in first_line.split(","):
+        assert len(tok.split(".")[1]) == 7, tok
