@@ -1,0 +1,97 @@
+"""Model registry: every decoder family behind one (init, apply) surface.
+
+BASELINE.json's config matrix — 3-class LSTM (reference parity), 5-class
+LSTM (re-adding Yes/No), EEGNet-style conv encoder, transformer encoder —
+all resolve here to a uniform functional interface so run_trials, the
+training loop, and the benchmark swap families by name.
+
+  apply(params, x_btc, *, train=False, rng=None) -> logits [B, classes]
+  init(rng) -> params pytree
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+
+from neural_speech_decoding_tpu.config import (
+    DecoderConfig,
+    FIVE_CLASS_NAMES,
+    THREE_CLASS_NAMES,
+)
+from neural_speech_decoding_tpu.models import eegnet as _eegnet
+from neural_speech_decoding_tpu.models import lstm as _lstm
+from neural_speech_decoding_tpu.models import transformer as _transformer
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    config: Any
+    class_names: Tuple[str, ...]
+    init: Callable[[jax.Array], Any]
+    apply: Callable[..., Any]  # (params, x, *, train=False, rng=None)
+
+
+def _lstm_spec(name: str, num_classes: int, class_names) -> "ModelSpec":
+    cfg = DecoderConfig(num_classes=num_classes)
+    return ModelSpec(
+        name=name,
+        config=cfg,
+        class_names=tuple(class_names),
+        init=lambda rng: _lstm.init_decoder_params(rng, cfg),
+        apply=lambda p, x, *, train=False, rng=None: _lstm.decoder_apply(
+            p, x, cfg, train=train, rng=rng
+        ),
+    )
+
+
+def _eegnet_spec(name: str, num_classes: int, class_names) -> "ModelSpec":
+    cfg = _eegnet.EEGNetConfig(num_classes=num_classes)
+    return ModelSpec(
+        name=name,
+        config=cfg,
+        class_names=tuple(class_names),
+        init=lambda rng: _eegnet.init_eegnet_params(rng, cfg),
+        apply=lambda p, x, *, train=False, rng=None: _eegnet.eegnet_apply(
+            p, x, cfg, train=train, rng=rng
+        ),
+    )
+
+
+def _transformer_spec(name: str, num_classes: int, class_names) -> "ModelSpec":
+    cfg = _transformer.TransformerConfig(num_classes=num_classes)
+    return ModelSpec(
+        name=name,
+        config=cfg,
+        class_names=tuple(class_names),
+        init=lambda rng: _transformer.init_transformer_params(rng, cfg),
+        apply=lambda p, x, *, train=False, rng=None: _transformer.transformer_apply(
+            p, x, cfg, train=train, rng=rng
+        ),
+    )
+
+
+_BUILDERS: Dict[str, Callable[[], ModelSpec]] = {
+    "lstm": lambda: _lstm_spec("lstm", 3, THREE_CLASS_NAMES),
+    "lstm5": lambda: _lstm_spec("lstm5", 5, FIVE_CLASS_NAMES),
+    "eegnet": lambda: _eegnet_spec("eegnet", 3, THREE_CLASS_NAMES),
+    "eegnet5": lambda: _eegnet_spec("eegnet5", 5, FIVE_CLASS_NAMES),
+    "transformer": lambda: _transformer_spec("transformer", 3, THREE_CLASS_NAMES),
+    "transformer5": lambda: _transformer_spec("transformer5", 5, FIVE_CLASS_NAMES),
+}
+
+
+def available_models() -> Tuple[str, ...]:
+    return tuple(sorted(_BUILDERS))
+
+
+def get_model(name: str) -> ModelSpec:
+    try:
+        return _BUILDERS[name]()
+    except KeyError:
+        raise KeyError(
+            f"unknown model {name!r}; available: {', '.join(available_models())}"
+        ) from None

@@ -41,13 +41,31 @@ class InferenceEngine:
         config: Optional[PipelineConfig] = None,
         class_names: Optional[Sequence[str]] = None,
         sample_rate: Optional[int] = None,
+        model: str = "lstm",
         donate: bool = False,
     ):
+        """`model` is a registry family name; `model_path` accepts the
+        reference .pth (LSTM families) or our native .npz pytrees."""
+        from neural_speech_decoding_tpu.models.registry import get_model
+
+        spec = get_model(model)
         if params is None:
             if model_path is None:
                 raise ValueError("need model_path or params")
-            params = load_decoder_params(model_path)
-        config = config or PipelineConfig()
+            if str(model_path).endswith(".npz"):
+                from neural_speech_decoding_tpu.io.params_io import load_params_npz
+
+                params = load_params_npz(model_path)
+            else:
+                if not model.startswith("lstm"):
+                    raise ValueError(
+                        f".pth checkpoints are LSTM-family; got model={model!r}"
+                    )
+                params = load_decoder_params(model_path)
+        config = config or PipelineConfig(
+            class_names=spec.class_names,
+            decoder=spec.config if model.startswith("lstm") else PipelineConfig().decoder,
+        )
         if sample_rate is not None and sample_rate != config.sample_rate:
             # reference quirk: the predictor adopts the *stream's* reported
             # sample rate (tester.py:70-75); the filter is sr-independent so
@@ -68,10 +86,16 @@ class InferenceEngine:
         filter_cfg: FilterConfig = config.filter
         decoder_cfg: DecoderConfig = config.decoder
 
+        if model.startswith("lstm"):
+            # reference-parity path: honor any custom DecoderConfig coming
+            # through PipelineConfig (SimplePredictor compat surface)
+            apply_fn = lambda p, x: decoder_apply(p, x, decoder_cfg, train=False)  # noqa: E731
+        else:
+            apply_fn = lambda p, x: spec.apply(p, x, train=False)  # noqa: E731
+
         def _pipeline(p, windows_btc: jnp.ndarray) -> jnp.ndarray:
             filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
-            logits = decoder_apply(p, filtered, decoder_cfg, train=False)
-            return jax.nn.softmax(logits, axis=-1)
+            return jax.nn.softmax(apply_fn(p, filtered), axis=-1)
 
         self._pipeline = jax.jit(_pipeline)
         self._compiled_buckets: Dict[int, bool] = {}

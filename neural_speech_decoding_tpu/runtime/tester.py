@@ -95,8 +95,13 @@ def run_trials_ex(
     *,
     engine: Optional[InferenceEngine] = None,
     queue_timeout: float = 6.5,
+    model: str = "lstm",
 ):
-    """run_trials + RunStats. See module docstring for semantics."""
+    """run_trials + RunStats. See module docstring for semantics.
+
+    `model` selects the decoder family from the registry ("lstm" is the
+    reference-parity default; "lstm5"/"eegnet"/"transformer" need a trained
+    .npz checkpoint via model_path)."""
     if model_path is None and engine is None:
         model_path = default_model_path()
 
@@ -134,13 +139,15 @@ def run_trials_ex(
             sr = item["sr"]
 
             if engine is None:
-                # canonical lazy construction with the stream's sr and the
-                # reference's class-name spelling for this call site
+                # canonical lazy construction with the stream's sr; the
+                # reference-parity LSTM keeps this call site's class-name
+                # spelling quirk (reference: tester.py:85)
                 engine = InferenceEngine(
                     model_path,
-                    config=PipelineConfig(),
-                    class_names=("Food", "Water", "None"),
+                    config=PipelineConfig() if model == "lstm" else None,
+                    class_names=("Food", "Water", "None") if model == "lstm" else None,
                     sample_rate=sr,
+                    model=model,
                 )
 
             t_pred0 = time.perf_counter()
@@ -215,7 +222,11 @@ def main() -> None:
                     help="board spec: replay[:path] | synthetic | native-replay | native-synthetic")
     ap.add_argument("--speed", type=float, default=1.0,
                     help="replay/synthetic time acceleration")
-    ap.add_argument("--model", default=None)
+    ap.add_argument("--model", default=None, help="checkpoint path (.pth or .npz)")
+    ap.add_argument(
+        "--family", default="lstm",
+        help="decoder family: lstm | lstm5 | eegnet | transformer | ...",
+    )
     ap.add_argument("--window-seconds", type=float, default=5.0)
     args = ap.parse_args()
 
@@ -230,6 +241,7 @@ def main() -> None:
         serial_port=board,
         window_seconds=args.window_seconds,
         model_path=args.model,
+        model=args.family,
     )
     print(f"windows/s: {stats.windows_per_second:.3f}  {stats.latency}")
 

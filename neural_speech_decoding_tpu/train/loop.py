@@ -50,9 +50,24 @@ class TrainState:
     step: int = 0
 
 
-def _loss_fn(params, batch_x, batch_y, rng, decoder_cfg: DecoderConfig,
-             label_smoothing: float):
-    logits = decoder_apply(params, batch_x, decoder_cfg, train=True, rng=rng)
+def _as_apply_fn(model) -> Callable:
+    """Normalize `model` to apply(params, x, *, train, rng) -> logits.
+    Accepts a DecoderConfig (reference-parity LSTM), a registry ModelSpec,
+    or a callable already in normalized form."""
+    if isinstance(model, DecoderConfig):
+        cfg = model
+        return lambda p, x, *, train=False, rng=None: decoder_apply(
+            p, x, cfg, train=train, rng=rng
+        )
+    if hasattr(model, "apply"):
+        return model.apply
+    if callable(model):
+        return model
+    raise TypeError(f"cannot build apply fn from {type(model)}")
+
+
+def _loss_fn(params, batch_x, batch_y, rng, apply_fn, label_smoothing: float):
+    logits = apply_fn(params, batch_x, train=True, rng=rng)
     n_cls = logits.shape[-1]
     onehot = jax.nn.one_hot(batch_y, n_cls, dtype=logits.dtype)
     if label_smoothing > 0:
@@ -64,18 +79,21 @@ def _loss_fn(params, batch_x, batch_y, rng, decoder_cfg: DecoderConfig,
 
 
 def make_train_step(
-    decoder_cfg: DecoderConfig,
+    model,
     optimizer: optax.GradientTransformation,
     label_smoothing: float = 0.0,
 ) -> Callable:
-    """Build the jittable train step:
+    """Build the jittable train step for any model family:
     (params, opt_state, x [B,T,C], y [B], rng) -> (params, opt_state, metrics)
+
+    `model`: DecoderConfig | registry ModelSpec | normalized apply callable.
     """
+    apply_fn = _as_apply_fn(model)
 
     def step(params, opt_state, x, y, rng):
         (loss, acc), grads = jax.value_and_grad(
             _loss_fn, has_aux=True
-        )(params, x, y, rng, decoder_cfg, label_smoothing)
+        )(params, x, y, rng, apply_fn, label_smoothing)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, "accuracy": acc}
@@ -83,11 +101,12 @@ def make_train_step(
     return step
 
 
-def make_eval_fn(decoder_cfg: DecoderConfig) -> Callable:
+def make_eval_fn(model) -> Callable:
+    apply_fn = _as_apply_fn(model)
     def evaluate(params, x, y, w):
         """w: per-example weights (0 for padding rows added to make the
         batch divisible by the data-parallel axis)."""
-        logits = decoder_apply(params, x, decoder_cfg, train=False)
+        logits = apply_fn(params, x, train=False)
         per = -jnp.take_along_axis(
             jax.nn.log_softmax(logits, -1), y[:, None].astype(jnp.int32), axis=1
         )[:, 0]
@@ -130,13 +149,25 @@ def train(
     init_params=None,
     verbose: bool = True,
     preprocessed: Optional[np.ndarray] = None,
+    model: Optional[str] = None,
 ) -> Tuple[Any, List[Dict[str, float]]]:
     """Train a decoder on a TrialDataset. Returns (params, history).
 
-    With `mesh`, batches are sharded over the 'dp' axis (params replicated;
-    gradient reduction happens inside jit via GSPMD collectives).
+    `model`: a registry name ("lstm", "eegnet", "transformer", ...); when
+    given, its spec supplies apply/init. Otherwise the reference-parity
+    LSTM with `decoder_cfg` is used. With `mesh`, batches are sharded over
+    the 'dp' axis (params replicated; gradient reduction happens inside jit
+    via GSPMD collectives).
     """
-    decoder_cfg = decoder_cfg or DecoderConfig(num_classes=dataset.num_classes)
+    if model is not None:
+        from neural_speech_decoding_tpu.models.registry import get_model
+
+        spec = get_model(model)
+        model_for_step: Any = spec
+    else:
+        decoder_cfg = decoder_cfg or DecoderConfig(num_classes=dataset.num_classes)
+        spec = None
+        model_for_step = decoder_cfg
     filter_cfg = filter_cfg or FilterConfig()
 
     train_ds, val_ds = dataset.split(train_cfg.val_fraction, seed=train_cfg.seed)
@@ -163,12 +194,12 @@ def train(
     rng = jax.random.PRNGKey(train_cfg.seed)
     if init_params is None:
         rng, k = jax.random.split(rng)
-        init_params = init_decoder_params(k, decoder_cfg)
+        init_params = spec.init(k) if spec is not None else init_decoder_params(k, decoder_cfg)
 
     optimizer = _optimizer(train_cfg)
     opt_state = optimizer.init(init_params)
-    step_fn = make_train_step(decoder_cfg, optimizer, train_cfg.label_smoothing)
-    eval_fn = make_eval_fn(decoder_cfg)
+    step_fn = make_train_step(model_for_step, optimizer, train_cfg.label_smoothing)
+    eval_fn = make_eval_fn(model_for_step)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

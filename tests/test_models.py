@@ -1,0 +1,103 @@
+"""Model family tests: registry, EEGNet, transformer, params persistence."""
+
+import jax
+import numpy as np
+import pytest
+
+from neural_speech_decoding_tpu.io.params_io import load_params_npz, save_params_npz
+from neural_speech_decoding_tpu.models.registry import available_models, get_model
+
+
+@pytest.fixture
+def windows():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((4, 625, 8)).astype(np.float32)
+
+
+@pytest.mark.parametrize("name", ["lstm", "lstm5", "eegnet", "transformer"])
+def test_model_forward_shapes(name, windows):
+    spec = get_model(name)
+    params = spec.init(jax.random.PRNGKey(0))
+    logits = np.asarray(spec.apply(params, windows))
+    assert logits.shape == (4, len(spec.class_names))
+    assert np.isfinite(logits).all()
+    # train mode runs and is stochastic for dropout models
+    a = np.asarray(spec.apply(params, windows, train=True, rng=jax.random.PRNGKey(1)))
+    b = np.asarray(spec.apply(params, windows, train=True, rng=jax.random.PRNGKey(2)))
+    assert a.shape == logits.shape
+    assert np.abs(a - b).max() > 0
+
+
+def test_registry_unknown():
+    with pytest.raises(KeyError, match="unknown model"):
+        get_model("mamba")
+    assert "lstm" in available_models()
+
+
+@pytest.mark.parametrize("name", ["eegnet", "transformer"])
+def test_models_jit_and_grad(name, windows):
+    spec = get_model(name)
+    params = spec.init(jax.random.PRNGKey(0))
+    y = np.array([0, 1, 2, 0], dtype=np.int32)
+
+    def loss(p):
+        logits = spec.apply(p, windows, train=True, rng=jax.random.PRNGKey(3))
+        return -jax.numpy.mean(
+            jax.numpy.take_along_axis(
+                jax.nn.log_softmax(logits, -1), y[:, None], axis=1
+            )
+        )
+
+    g = jax.jit(jax.grad(loss))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_train_registry_model_smoke(dataset):
+    """EEGNet trains through the generic loop."""
+    import dataclasses
+
+    from neural_speech_decoding_tpu.train.loop import TrainConfig, train
+
+    sub = dataset._take(np.arange(0, len(dataset), 6))
+    params, history = train(
+        sub,
+        model="eegnet",
+        train_cfg=TrainConfig(epochs=2, batch_size=8),
+        verbose=False,
+    )
+    assert np.isfinite(history[-1]["train_loss"])
+
+
+def test_params_npz_roundtrip(tmp_path):
+    spec = get_model("transformer")
+    params = spec.init(jax.random.PRNGKey(0))
+    path = tmp_path / "ckpt.npz"
+    save_params_npz(path, params)
+    back = load_params_npz(path)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(back)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=lambda t: str(t[0])),
+                                  sorted(flat_b, key=lambda t: str(t[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_npz_checkpoint_through_engine(tmp_path, windows):
+    from neural_speech_decoding_tpu.runtime.engine import InferenceEngine
+
+    spec = get_model("eegnet")
+    params = spec.init(jax.random.PRNGKey(0))
+    path = tmp_path / "eegnet.npz"
+    save_params_npz(path, params)
+
+    eng = InferenceEngine(str(path), model="eegnet")
+    probs, label = eng.predict(windows[0])
+    assert probs.shape == (3,)
+    assert label in spec.class_names
+    # .pth + non-lstm family must be rejected
+    with pytest.raises(ValueError, match="LSTM-family"):
+        InferenceEngine("whatever.pth", model="eegnet")
