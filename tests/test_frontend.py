@@ -1,0 +1,105 @@
+"""Frontend tests: shared helpers + the stdlib web dashboard."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from neural_speech_decoding_tpu.frontend import common
+from neural_speech_decoding_tpu.frontend.server import Handler
+
+
+def test_mock_probs_contract():
+    rng = np.random.default_rng(0)
+    probs = common.generate_mock_probs("Water", rng)
+    assert set(probs) == set(common.CLASSES)
+    assert 0.60 <= probs["Water"] <= 0.70
+    assert abs(sum(probs.values()) - 1.0) < 1e-9
+
+
+def test_mock_eeg_shape():
+    eeg = common.generate_mock_eeg(np.random.default_rng(0))
+    assert eeg.shape == (common.SAMPLES, common.CHANNELS)
+    assert np.isfinite(eeg).all()
+
+
+def test_normalize_eeg_zscore():
+    rng = np.random.default_rng(1)
+    chunk = rng.standard_normal((625, 8)) * 5 + 3
+    out = common.normalize_eeg(chunk)
+    np.testing.assert_allclose(out.mean(axis=0), 0.0, atol=1e-9)
+    np.testing.assert_allclose(out.std(axis=0), 1.0, atol=1e-3)
+
+
+def test_mock_snapshot_roundtrip():
+    snap = common.mock_snapshot("Food", seed=0)
+    d = snap.to_json_dict()
+    assert json.dumps(d)  # JSON-serializable
+    assert d["transcript"].startswith("Predicted:")
+    assert len(d["eeg"]) == common.SAMPLES
+
+
+@pytest.fixture(scope="module")
+def dashboard():
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, r.read()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_dashboard_page(dashboard):
+    status, body = _get(dashboard + "/")
+    assert status == 200
+    assert b"Imagined-Speech Decoding" in body
+
+
+def test_dashboard_state(dashboard):
+    status, body = _get(dashboard + "/api/state")
+    assert status == 200
+    state = json.loads(body)
+    assert "word_probs" in state
+
+
+def test_dashboard_mock_decode(dashboard):
+    status, snap = _post(dashboard + "/api/decode", {"mode": "mock", "focus": "Water"})
+    assert status == 200
+    assert snap["word_probs"]["Water"] >= 0.60
+    assert snap["transcript"].startswith("Predicted:")
+
+
+def test_dashboard_bad_request(dashboard):
+    status, snap = _post(dashboard + "/api/decode", {"mode": "device", "board": "/dev/bogus", "trials": 1})
+    assert status == 500
+    assert "error" in snap
+    assert "serial port" in snap["error"]
+
+
+def test_dashboard_404(dashboard):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        _get(dashboard + "/api/nope")
