@@ -113,23 +113,30 @@ def tpu_windows_per_sec(windows: np.ndarray) -> tuple[float, float, str]:
         np.tile(windows, (reps, 1, 1))[:TPU_BATCH], dtype=jnp.float32
     )
 
-    # warm compile + one run
+    # warm compile + one run. NOTE: through the axon tunnel
+    # jax.block_until_ready does NOT wait for remote execution, so every
+    # sync here is a forced host transfer (np.asarray). Steady-state
+    # throughput = dispatch ITERS batches, then fetch the last result: the
+    # device executes the queue in order, so the elapsed time covers all
+    # ITERS executions plus one round-trip.
     np.asarray(pipeline(params, batch))
     t0 = time.perf_counter()
     out = None
     for _ in range(TPU_ITERS):
         out = pipeline(params, batch)
-    out.block_until_ready()
+    np.asarray(out)
     dt = time.perf_counter() - t0
     throughput = TPU_BATCH * TPU_ITERS / dt
 
-    # single-window (batch-1) decode latency, warm
+    # single-window (batch-1) decode latency, warm, synced per call
+    # (includes the tunnel round-trip — the honest trial-to-prediction
+    # number a client of this host observes)
     one = batch[:1]
     np.asarray(pipeline(params, one))
     lat = []
     for _ in range(20):
         t0 = time.perf_counter()
-        pipeline(params, one).block_until_ready()
+        np.asarray(pipeline(params, one))
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)
     return throughput, p50_ms, device_kind

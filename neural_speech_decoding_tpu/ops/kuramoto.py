@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from neural_speech_decoding_tpu.config import FilterConfig
-from neural_speech_decoding_tpu.ops.hilbert import instantaneous_phase
+from neural_speech_decoding_tpu.ops.hilbert import analytic_signal, instantaneous_phase
 
 
 def _wide_dtype(precision: str) -> jnp.dtype:
@@ -53,13 +53,39 @@ def kuramoto_operator(
     t = phases_tc.shape[0]
     c2 = jnp.cos(2.0 * phases_tc)
     s2 = jnp.sin(2.0 * phases_tc)
-    gram = jnp.matmul(c2.T, c2, precision=matmul_precision) + jnp.matmul(
-        s2.T, s2, precision=matmul_precision
-    )
-    p = 0.5 * (jnp.asarray(t, phases_tc.dtype) - gram)
+    return _operator_from_cs(c2, s2, t, matmul_precision)
+
+
+def _operator_from_cs(c2, s2, t, matmul_precision) -> jnp.ndarray:
+    # One MXU matmul: [c2; s2]^T [c2; s2] summed over the stacked time axis
+    # equals c2^T c2 + s2^T s2.
+    m = jnp.concatenate([c2, s2], axis=0)
+    gram = jnp.matmul(m.T, m, precision=matmul_precision)
+    p = 0.5 * (jnp.asarray(t, c2.dtype) - gram)
     # The reference never writes the diagonal (pair loop skips i == j);
     # force it to exactly 0 so the renorm sees the same clip-to-eps input.
     return p - jnp.diag(jnp.diag(p))
+
+
+def kuramoto_operator_from_analytic(
+    z: jnp.ndarray, *, matmul_precision=jax.lax.Precision.HIGHEST, eps=None
+) -> jnp.ndarray:
+    """Operator straight from the analytic signal [T, C] (complex) —
+    transcendental-free: with z = |z| e^{i phi},
+
+      cos 2phi = (re^2 - im^2) / |z|^2,   sin 2phi = 2 re im / |z|^2
+
+    so the angle/cos/sin chain (3 transcendentals per sample) collapses to
+    one reciprocal. Exact same math as kuramoto_operator(angle(z)).
+    """
+    re, im = z.real, z.imag
+    p2 = re * re + im * im
+    if eps is None:
+        eps = jnp.finfo(re.dtype).tiny
+    inv = 1.0 / jnp.maximum(p2, eps)
+    c2 = (re * re - im * im) * inv
+    s2 = (2.0 * re * im) * inv
+    return _operator_from_cs(c2, s2, z.shape[0], matmul_precision)
 
 
 def _renorm_diag(p: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -93,8 +119,10 @@ def mai_filter(
     # FFT straight over the time axis — no transposes around the FFT; the
     # transposed formulation trips XLA:CPU's fft thunk layout check under
     # SPMD partitioning, and XLA handles the axis permutation internally.
-    phases = instantaneous_phase(x, axis=0)
-    p = kuramoto_operator(phases, matmul_precision=mm)
+    # The operator comes straight from the analytic signal (no angle/cos/
+    # sin transcendentals — see kuramoto_operator_from_analytic).
+    z = analytic_signal(x, axis=0)
+    p = kuramoto_operator_from_analytic(z, matmul_precision=mm)
     if config.renorm == "diag":
         p = _renorm_diag(p, config.eps)
 
