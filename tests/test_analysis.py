@@ -1,0 +1,121 @@
+"""Analysis tooling tests: metrics parity, robust IO, offline/realtime runs."""
+
+import json
+
+import numpy as np
+import pytest
+
+from neural_speech_decoding_tpu.analysis.io import (
+    detect_orientation,
+    detect_unit_scale,
+    read_numeric_csv,
+)
+from neural_speech_decoding_tpu.analysis.metrics import (
+    compute_filter_metrics,
+    format_metrics,
+    save_metrics_json,
+    snr_db,
+)
+from neural_speech_decoding_tpu.analysis.offline import analyze_file
+
+
+def test_snr_methods():
+    rng = np.random.default_rng(0)
+    sig = rng.standard_normal(1000) * 2
+    noise = rng.standard_normal(1000)
+    v = snr_db(sig, noise, "power_ratio")
+    assert 4 < v < 9  # ~6 dB for 2x amplitude
+    assert snr_db(sig, np.zeros(10), "power_ratio") == float("inf")
+    with pytest.raises(ValueError, match="unknown SNR method"):
+        snr_db(sig, noise, "nope")
+
+
+def test_metrics_schema_and_values():
+    rng = np.random.default_rng(1)
+    raw = rng.standard_normal((4, 500)) * 10
+    filt = raw * 0.2  # strong suppression
+    m = compute_filter_metrics(raw, filt, fs=125.0, channel=1, lambd=1e-30)
+    assert m["channels"] == 4
+    assert m["duration_sec"] == 4.0
+    assert m["lambda"] == 1e-30
+    imp = m["impact_channel"]
+    assert imp["peak_after"] < imp["peak_before"]
+    assert 90 < imp["artifact_variance_reduction_pct"] < 100
+    assert m["tags_channel"]["artifact_suppression"]
+    assert m["tags_channel"]["smoothing_effect"]
+    assert format_metrics(m).startswith("[SNR")
+
+
+def test_metrics_json_roundtrip(tmp_path):
+    raw = np.ones((2, 100))
+    raw[0, 50] = 100.0
+    m = compute_filter_metrics(raw, raw * 0.5, fs=100.0)
+    save_metrics_json(tmp_path / "m.json", m)
+    back = json.loads((tmp_path / "m.json").read_text())
+    assert back["impact_channel"]["peak_before"] == 100.0
+
+
+def test_read_numeric_csv_with_header_and_index(tmp_path):
+    p = tmp_path / "x.csv"
+    p.write_text(
+        "time,ch1,ch2\n"
+        + "\n".join(f"{i},{i * 0.1:.3f},{i * 0.2:.3f}" for i in range(50))
+    )
+    arr = read_numeric_csv(p)
+    assert arr.shape == (50, 2)  # header skipped, index column dropped
+    np.testing.assert_allclose(arr[:, 0], np.arange(50) * 0.1, atol=1e-9)
+
+
+def test_read_numeric_csv_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("hello\nworld\n")
+    with pytest.raises(ValueError, match="no numeric rows"):
+        read_numeric_csv(p)
+
+
+def test_detect_orientation():
+    assert detect_orientation(np.zeros((8, 625))).shape == (8, 625)
+    assert detect_orientation(np.zeros((625, 8))).shape == (8, 625)
+
+
+def test_detect_unit_scale():
+    uv = np.full((2, 100), 20.0)
+    assert detect_unit_scale(uv) == (1.0, "microvolts")
+    volts = uv * 1e-6
+    scale, name = detect_unit_scale(volts)
+    assert name == "volts" and scale == 1e6
+    nv = uv * 1e3
+    scale, name = detect_unit_scale(nv)
+    assert name == "nanovolts"
+
+
+def test_analyze_file_end_to_end(tmp_path, data_dir, dataset):
+    src = data_dir / dataset.files[0]
+    metrics, filtered = analyze_file(
+        src, lambd=1e-29, fs=125.0, out_dir=tmp_path
+    )
+    assert metrics["channels"] == 8
+    assert filtered.shape == (8, 625)
+    outs = list(tmp_path.iterdir())
+    assert any("filtered" in p.name for p in outs)
+    assert any("metrics" in p.name for p in outs)
+
+
+def test_realtime_analysis_with_injection():
+    from neural_speech_decoding_tpu.analysis.realtime import run_realtime
+    from neural_speech_decoding_tpu.runtime.board import SyntheticBoard
+
+    board = SyntheticBoard(speed=64.0)
+    board.prepare_session()
+    board.start_stream(5000)
+    try:
+        results = run_realtime(
+            board, n_windows=3, window_seconds=1.0, inject="sine", timeout=60
+        )
+    finally:
+        board.stop_stream()
+        board.release_session()
+    assert len(results) == 3
+    for m in results:
+        assert m["duration_sec"] == 1.0
+        assert np.isfinite(m["impact_channel"]["peak_before"])
