@@ -135,6 +135,37 @@ def mai_filter(
     return out.astype(jnp.float32)
 
 
+class KuramotoSpatialFilter:
+    """sklearn-style estimator facade over the filter, channels-x-time
+    orientation — the vendored package's API surface (reference:
+    MindsAI/mindsai_filter_python/core.py:9-51: MindsAIFilter with
+    fit/transform on [C, T], `lambd`/`renorm` constructor args)."""
+
+    def __init__(self, lambd: float = 1e-25, renorm: str = "diag"):
+        self.lambd = float(lambd)
+        self.renorm = renorm
+        self._config = FilterConfig(lambd=self.lambd, renorm=renorm)
+
+    def fit(self, X, y=None):
+        return self
+
+    def transform(self, X, y=None):
+        import numpy as np
+
+        x_ct = np.asarray(X, dtype=np.float64)
+        out_tc = jax.jit(lambda w: mai_filter(w, self._config))(x_ct.T)
+        return np.asarray(out_tc).T.astype(np.float64)
+
+    def fit_transform(self, X, y=None):
+        return self.fit(X, y).transform(X, y)
+
+
+def kuramoto_spatial_filter(data_ct, lambda_val: float = 1e-25):
+    """Function form of the filter on [C, T] data (the vendored package's
+    `mindsai_python_filter` call signature, core.py:50-51)."""
+    return KuramotoSpatialFilter(lambd=lambda_val).fit_transform(data_ct)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def mai_filter_batch(
     windows_btc: jnp.ndarray, config: Optional[FilterConfig] = None
