@@ -41,6 +41,10 @@ class TrainConfig:
     val_fraction: float = 0.2
     # noise-injection augmentation (train/augment.py); 0 disables
     augment_prob: float = 0.0
+    # orbax checkpoint/resume (train/checkpointing.py); None disables
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 20
+    resume: bool = True
 
 
 @dataclasses.dataclass
@@ -236,11 +240,25 @@ def train(
         bs = train_cfg.batch_size
         w_val = np.ones(x_val.shape[0], np.float32)
 
+    start_epoch = 0
+    if train_cfg.checkpoint_dir:
+        from neural_speech_decoding_tpu.train import checkpointing as ckpt
+
+        if train_cfg.resume:
+            last = ckpt.latest_epoch(train_cfg.checkpoint_dir)
+            if last is not None:
+                start_epoch, params, opt_state = ckpt.restore_train_state(
+                    train_cfg.checkpoint_dir, params, opt_state
+                )
+                start_epoch += 1
+                if verbose:
+                    print(f"resumed from epoch {start_epoch - 1}", flush=True)
+
     history: List[Dict[str, float]] = []
     n = x_train.shape[0]
-    np_rng = np.random.default_rng(train_cfg.seed)
+    np_rng = np.random.default_rng(train_cfg.seed + start_epoch)
     t0 = time.perf_counter()
-    for epoch in range(train_cfg.epochs):
+    for epoch in range(start_epoch, train_cfg.epochs):
         perm = np_rng.permutation(n)
         losses, accs = [], []
         for i in range(0, n - bs + 1, bs):
@@ -266,5 +284,14 @@ def train(
                 f"epoch {epoch:3d} loss {rec['train_loss']:.4f} "
                 f"acc {rec['train_accuracy']:.3f} val_acc {rec['val_accuracy']:.3f}",
                 flush=True,
+            )
+        if train_cfg.checkpoint_dir and (
+            (epoch + 1) % train_cfg.checkpoint_every == 0
+            or epoch == train_cfg.epochs - 1
+        ):
+            from neural_speech_decoding_tpu.train import checkpointing as ckpt
+
+            ckpt.save_train_state(
+                train_cfg.checkpoint_dir, epoch, params, opt_state
             )
     return params, history

@@ -67,10 +67,11 @@ def test_tp_sharded_forward_matches_replicated():
     assert "tp" in str(w_ih.sharding.spec)
 
 
-def test_dryrun_multichip_entry():
+@pytest.mark.parametrize("n", [1, 2, 4, 8])
+def test_dryrun_multichip_entry(n):
     import __graft_entry__
 
-    __graft_entry__.dryrun_multichip(8)
+    __graft_entry__.dryrun_multichip(n)
 
 
 def test_graft_entry_forward():
