@@ -29,6 +29,16 @@ from neural_speech_decoding_tpu.collector.chain import record_trial
 DEFAULT_WORDS = ("water", "food", "yes", "no")  # reference: words.csv
 
 
+def load_words_csv(path) -> tuple:
+    """Read a PsychoPy-style conditions file: a `words` header followed by
+    one word per row (reference: words.csv via
+    DataCollectionExperiment.psyexp:182)."""
+    lines = [ln.strip() for ln in Path(path).read_text().splitlines() if ln.strip()]
+    if not lines or lines[0].lower() != "words":
+        raise ValueError(f"{path}: expected a 'words' header row")
+    return tuple(lines[1:])
+
+
 @dataclasses.dataclass(frozen=True)
 class ExperimentConfig:
     words: Sequence[str] = DEFAULT_WORDS
@@ -108,13 +118,16 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--speed", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--words-csv", default=None,
+                    help="PsychoPy-style conditions file (words header)")
     args = ap.parse_args()
 
+    words = load_words_csv(args.words_csv) if args.words_csv else DEFAULT_WORDS
     board = open_board(args.board, speed=args.speed)
     board.prepare_session()
     board.start_stream()
     try:
-        cfg = ExperimentConfig(n_reps=args.reps, seed=args.seed)
+        cfg = ExperimentConfig(words=words, n_reps=args.reps, seed=args.seed)
         paths = run_experiment(
             board, args.out, cfg,
             on_trial=lambda i, w, p: print(f"trial {i:03d} word={w} -> {p}"),

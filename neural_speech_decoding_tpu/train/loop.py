@@ -45,6 +45,8 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 20
     resume: bool = True
+    # return the params of the best-val-accuracy epoch instead of the last
+    keep_best: bool = True
 
 
 @dataclasses.dataclass
@@ -255,6 +257,7 @@ def train(
                     print(f"resumed from epoch {start_epoch - 1}", flush=True)
 
     history: List[Dict[str, float]] = []
+    best_acc, best_params = -1.0, None
     n = x_train.shape[0]
     np_rng = np.random.default_rng(train_cfg.seed + start_epoch)
     t0 = time.perf_counter()
@@ -279,6 +282,9 @@ def train(
             "wall_s": time.perf_counter() - t0,
         }
         history.append(rec)
+        if train_cfg.keep_best and rec["val_accuracy"] >= best_acc:
+            best_acc = rec["val_accuracy"]
+            best_params = jax.tree_util.tree_map(np.asarray, params)
         if verbose and (epoch % 10 == 0 or epoch == train_cfg.epochs - 1):
             print(
                 f"epoch {epoch:3d} loss {rec['train_loss']:.4f} "
@@ -294,4 +300,6 @@ def train(
             ckpt.save_train_state(
                 train_cfg.checkpoint_dir, epoch, params, opt_state
             )
+    if train_cfg.keep_best and best_params is not None:
+        return best_params, history
     return params, history

@@ -95,3 +95,26 @@ def test_run_experiment_headless(tmp_path):
     first_line = paths[0].read_text().split("\n", 1)[0]
     for tok in first_line.split(","):
         assert len(tok.split(".")[1]) == 7, tok
+
+
+def test_load_words_csv(tmp_path):
+    from neural_speech_decoding_tpu.collector.experiment import load_words_csv
+
+    p = tmp_path / "words.csv"
+    p.write_text("words\nwater\nfood\nyes\nno\n")
+    assert load_words_csv(p) == ("water", "food", "yes", "no")
+    bad = tmp_path / "bad.csv"
+    bad.write_text("nope\nx\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="words"):
+        load_words_csv(bad)
+
+
+def test_repo_words_csv():
+    from pathlib import Path
+
+    from neural_speech_decoding_tpu.collector.experiment import load_words_csv
+
+    root = Path(__file__).resolve().parents[1]
+    assert load_words_csv(root / "words.csv") == ("water", "food", "yes", "no")
