@@ -111,10 +111,10 @@ def _lstm_layer(
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    init = (
-        jnp.zeros((b, h_dim), x_btc.dtype),
-        jnp.zeros((b, h_dim), x_btc.dtype),
-    )
+    # derive the zero state from the data (not a fresh constant) so it
+    # carries the same shard-varying axes under shard_map
+    zero = jnp.zeros((b, h_dim), x_btc.dtype) + x_btc[:, :1, 0] * 0.0
+    init = (zero, zero)
     _, hs = jax.lax.scan(step, init, xp_tbh)
     return jnp.transpose(hs, (1, 0, 2))  # back to [B, T, H]
 
