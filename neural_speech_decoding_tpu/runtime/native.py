@@ -67,8 +67,57 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.c_long,
         ctypes.POINTER(ctypes.c_double),
     ]
+
+    # DSP (nsd_dsp.cpp)
+    lib.nsd_dsp_detrend_constant.restype = None
+    lib.nsd_dsp_detrend_constant.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+    ]
+    for fn in (lib.nsd_dsp_sosfilt, lib.nsd_dsp_sosfiltfilt):
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int,
+        ]
     _lib_cache = lib
     return lib
+
+
+def _as_c_double(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def native_detrend_constant(x: np.ndarray) -> np.ndarray:
+    """Per-channel constant detrend via the C++ DSP. x: [..., T]."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native lib not built — run `make -C native`")
+    out = np.ascontiguousarray(x, dtype=np.float64).copy()
+    flat = out.reshape(-1, out.shape[-1])
+    for row in flat:
+        lib.nsd_dsp_detrend_constant(_as_c_double(row), row.shape[0])
+    return out
+
+
+def native_sosfilt(x: np.ndarray, sos: np.ndarray, zero_phase: bool = False) -> np.ndarray:
+    """Biquad cascade along the last axis via the C++ DSP (scipy.signal
+    sosfilt semantics; zero_phase = pad-free forward-backward)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native lib not built — run `make -C native`")
+    sos = np.ascontiguousarray(sos, dtype=np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError(f"sos must be [S, 6], got {sos.shape}")
+    out = np.ascontiguousarray(x, dtype=np.float64).copy()
+    flat = out.reshape(-1, out.shape[-1])
+    fn = lib.nsd_dsp_sosfiltfilt if zero_phase else lib.nsd_dsp_sosfilt
+    for row in flat:
+        rc = fn(_as_c_double(row), row.shape[0], _as_c_double(sos), sos.shape[0])
+        if rc != 0:
+            raise RuntimeError(f"native sosfilt failed rc={rc}")
+    return out
 
 
 class NativeBoardHandle:

@@ -84,3 +84,25 @@ def test_neurokit_connector_compat(dataset):
     assert win.shape == (8, 625)
     assert conn.sr == 125
     assert len(conn.eeg_channels) == 8
+
+
+def test_knight_board_legacy_connector(dataset):
+    import time
+
+    from Utilities.knight_board_init import KnightBoard
+
+    from neural_speech_decoding_tpu.runtime.board import ReplayBoard
+
+    board = ReplayBoard(dataset.windows[:2], speed=128.0)
+    kb = KnightBoard(board, 8)
+    kb.start_stream()
+    try:
+        deadline = time.time() + 10
+        while board.get_board_data_count() < 625 and time.time() < deadline:
+            time.sleep(0.01)
+        win = kb.get_window(5.0)
+    finally:
+        kb.stop_stream()
+    assert win.shape == (8, 625)
+    # legacy path: channel config happens after the stream starts
+    assert len(board.config_log) == 16

@@ -109,3 +109,32 @@ def test_native_speed_realtime_pacing():
     b.release_session()
     # ~125 samples in 1 s (generous bounds for CI jitter)
     assert 60 <= count <= 260, count
+
+
+def test_native_dsp_matches_scipy():
+    import scipy.signal
+
+    from neural_speech_decoding_tpu.ops.iir import butter_sos
+    from neural_speech_decoding_tpu.runtime.native import (
+        native_detrend_constant,
+        native_sosfilt,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 625)) + 3.0
+
+    d = native_detrend_constant(x)
+    np.testing.assert_allclose(d.mean(axis=1), 0.0, atol=1e-12)
+
+    sos = np.asarray(butter_sos("bandpass", 2, 3.0, 48.0, 125.0))
+    causal = native_sosfilt(x, sos)
+    ref = scipy.signal.sosfilt(sos, x, axis=1)
+    np.testing.assert_allclose(causal, ref, rtol=1e-12, atol=1e-12)
+
+    zp = native_sosfilt(x, sos, zero_phase=True)
+    fwd = scipy.signal.sosfilt(sos, x, axis=1)
+    ref_zp = scipy.signal.sosfilt(sos, fwd[:, ::-1], axis=1)[:, ::-1]
+    np.testing.assert_allclose(zp, ref_zp, rtol=1e-12, atol=1e-12)
+
+    with pytest.raises(ValueError, match="sos"):
+        native_sosfilt(x, np.zeros((2, 5)))
