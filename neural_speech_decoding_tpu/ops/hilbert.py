@@ -48,3 +48,34 @@ def instantaneous_phase(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """angle(hilbert(x)) along `axis` — the Kuramoto phase input."""
     z = analytic_signal(x, axis=axis)
     return jnp.arctan2(z.imag, z.real)
+
+
+@functools.lru_cache(maxsize=8)
+def _hilbert_transform_matrix(n: int) -> np.ndarray:
+    """Dense Hilbert-transform operator H [n, n] with H @ x = imag(hilbert(x)).
+
+    For real x the analytic signal is exactly x + i * H(x) (the real part of
+    ifft(h * fft(x)) is x itself), so for fixed window lengths the whole
+    Hilbert step is ONE matmul — on TPU this runs on the MXU in a fraction
+    of the time of an odd-length (625 = 5^4) batched FFT. Built once in
+    float64 via the FFT definition applied to the identity.
+    """
+    h = _hilbert_gain(n)
+    a = np.fft.ifft(h[:, None] * np.fft.fft(np.eye(n), axis=0), axis=0)
+    return np.ascontiguousarray(a.imag)
+
+
+def analytic_signal_matmul(
+    x_tc: jnp.ndarray, *, precision=None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(real, imag) of the analytic signal over axis 0 of [T, C] via the
+    dense Hilbert operator — the MXU fast path for fixed T. Matches
+    analytic_signal(x, axis=0) to dtype precision."""
+    import jax
+
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    t = x_tc.shape[0]
+    h = jnp.asarray(_hilbert_transform_matrix(t), x_tc.dtype)
+    im = jnp.matmul(h, x_tc, precision=precision)
+    return x_tc, im

@@ -37,7 +37,11 @@ import jax
 import jax.numpy as jnp
 
 from neural_speech_decoding_tpu.config import FilterConfig
-from neural_speech_decoding_tpu.ops.hilbert import analytic_signal, instantaneous_phase
+from neural_speech_decoding_tpu.ops.hilbert import (
+    analytic_signal,
+    analytic_signal_matmul,
+    instantaneous_phase,
+)
 
 
 def _wide_dtype(precision: str) -> jnp.dtype:
@@ -67,10 +71,14 @@ def _operator_from_cs(c2, s2, t, matmul_precision) -> jnp.ndarray:
     return p - jnp.diag(jnp.diag(p))
 
 
-def kuramoto_operator_from_analytic(
-    z: jnp.ndarray, *, matmul_precision=jax.lax.Precision.HIGHEST, eps=None
+def kuramoto_operator_from_parts(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    *,
+    matmul_precision=jax.lax.Precision.HIGHEST,
+    eps=None,
 ) -> jnp.ndarray:
-    """Operator straight from the analytic signal [T, C] (complex) —
+    """Operator from (real, imag) of the analytic signal [T, C] —
     transcendental-free: with z = |z| e^{i phi},
 
       cos 2phi = (re^2 - im^2) / |z|^2,   sin 2phi = 2 re im / |z|^2
@@ -78,14 +86,21 @@ def kuramoto_operator_from_analytic(
     so the angle/cos/sin chain (3 transcendentals per sample) collapses to
     one reciprocal. Exact same math as kuramoto_operator(angle(z)).
     """
-    re, im = z.real, z.imag
     p2 = re * re + im * im
     if eps is None:
         eps = jnp.finfo(re.dtype).tiny
     inv = 1.0 / jnp.maximum(p2, eps)
     c2 = (re * re - im * im) * inv
     s2 = (2.0 * re * im) * inv
-    return _operator_from_cs(c2, s2, z.shape[0], matmul_precision)
+    return _operator_from_cs(c2, s2, re.shape[0], matmul_precision)
+
+
+def kuramoto_operator_from_analytic(
+    z: jnp.ndarray, *, matmul_precision=jax.lax.Precision.HIGHEST, eps=None
+) -> jnp.ndarray:
+    return kuramoto_operator_from_parts(
+        z.real, z.imag, matmul_precision=matmul_precision, eps=eps
+    )
 
 
 def _renorm_diag(p: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -116,13 +131,19 @@ def mai_filter(
     )
 
     x = x_tc.astype(dtype)
-    # FFT straight over the time axis — no transposes around the FFT; the
-    # transposed formulation trips XLA:CPU's fft thunk layout check under
-    # SPMD partitioning, and XLA handles the axis permutation internally.
-    # The operator comes straight from the analytic signal (no angle/cos/
-    # sin transcendentals — see kuramoto_operator_from_analytic).
-    z = analytic_signal(x, axis=0)
-    p = kuramoto_operator_from_analytic(z, matmul_precision=mm)
+    # The operator comes straight from the analytic signal's (re, im) —
+    # no angle/cos/sin transcendentals (kuramoto_operator_from_parts).
+    if config.precision == "fast":
+        # MXU path: the Hilbert transform of a fixed T is one dense matmul
+        # — far faster on TPU than a batched odd-length (625 = 5^4) FFT.
+        re, im = analytic_signal_matmul(x)
+    else:
+        # FFT path (scipy-parity, exact in f64). FFT straight over the time
+        # axis — no transposes around it; the transposed formulation trips
+        # XLA:CPU's fft thunk layout check under SPMD partitioning.
+        z = analytic_signal(x, axis=0)
+        re, im = z.real, z.imag
+    p = kuramoto_operator_from_parts(re, im, matmul_precision=mm)
     if config.renorm == "diag":
         p = _renorm_diag(p, config.eps)
 
