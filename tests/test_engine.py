@@ -1,0 +1,59 @@
+"""InferenceEngine unit tests (bucketing, async dispatch, quirks)."""
+
+import numpy as np
+import pytest
+
+from neural_speech_decoding_tpu.config import PipelineConfig
+from neural_speech_decoding_tpu.runtime.engine import InferenceEngine, _bucket
+
+
+def test_bucket_rounding():
+    assert _bucket(1) == 1
+    assert _bucket(2) == 2
+    assert _bucket(3) == 4
+    assert _bucket(5) == 8
+    assert _bucket(8) == 8
+    assert _bucket(1000) == 1024
+
+
+@pytest.fixture(scope="module")
+def engine(checkpoint_path):
+    eng = InferenceEngine(str(checkpoint_path))
+    eng.warmup([1])
+    return eng
+
+
+def test_padded_batch_matches_exact(engine, dataset):
+    w = dataset.windows[:5]  # pads to bucket 8
+    padded = engine.predict_batch(w)
+    exact = engine.predict_batch(dataset.windows[:8])[:5]
+    np.testing.assert_allclose(padded, exact, atol=1e-6)
+    assert padded.shape == (5, 3)
+
+
+def test_predict_single_contract(engine, dataset, golden):
+    probs, label = engine.predict(dataset.windows[0])
+    assert probs.dtype == np.float32
+    np.testing.assert_allclose(probs, golden["probs"][0], atol=1e-4)
+    assert label in engine.class_names
+
+
+def test_async_future_matches_sync(engine, dataset):
+    import jax.numpy as jnp
+
+    w = jnp.asarray(dataset.windows[:2])
+    fut = engine.predict_batch_async(w)
+    sync = engine.predict_batch(dataset.windows[:2])
+    np.testing.assert_allclose(np.asarray(fut), sync, atol=1e-6)
+
+
+def test_sample_rate_quirk(checkpoint_path):
+    """The engine adopts the stream's sr (reference tester.py:70-75)."""
+    eng = InferenceEngine(str(checkpoint_path), sample_rate=250)
+    assert eng.config.sample_rate == 250
+    assert eng.config.window_samples == 1250
+
+
+def test_needs_model_or_params():
+    with pytest.raises(ValueError, match="model_path or params"):
+        InferenceEngine()
