@@ -9,7 +9,7 @@ they can be closed over by jit as static arguments.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 # Class index order is the behavioral contract fixed by the shipped
 # checkpoint head (reference: SURVEY.md §2.4): 0=Food, 1=Water, 2=Background.

@@ -12,7 +12,7 @@ training loop, and the benchmark swap families by name.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 

@@ -40,7 +40,7 @@ from neural_speech_decoding_tpu.config import FilterConfig
 from neural_speech_decoding_tpu.ops.hilbert import (
     analytic_signal,
     analytic_signal_matmul,
-    instantaneous_phase,
+    instantaneous_phase,  # noqa: F401  (re-exported phase helper)
 )
 
 

@@ -14,7 +14,7 @@ nothing to stabilize, so tests run fast).
 from __future__ import annotations
 
 import time
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

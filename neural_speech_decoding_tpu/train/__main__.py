@@ -15,8 +15,6 @@ import argparse
 import json
 from pathlib import Path
 
-import numpy as np
-
 from neural_speech_decoding_tpu.config import (
     FIVE_CLASS_PREFIXES,
     THREE_CLASS_PREFIXES,

@@ -4,7 +4,6 @@ import pytest
 from neural_speech_decoding_tpu.io.checkpoint import (
     load_decoder_params,
     load_torch_checkpoint,
-    torch_lstm_state_to_params,
 )
 
 # Expected state_dict contract (SURVEY.md §2.4).

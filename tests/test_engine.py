@@ -3,7 +3,6 @@
 import numpy as np
 import pytest
 
-from neural_speech_decoding_tpu.config import PipelineConfig
 from neural_speech_decoding_tpu.runtime.engine import InferenceEngine, _bucket
 
 

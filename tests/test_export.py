@@ -43,8 +43,6 @@ def test_export_loads_in_torch(tmp_path, checkpoint_path):
 def test_roundtrip_preserves_reference_behavior(tmp_path, checkpoint_path, dataset, golden):
     """reference .pth -> our pytree -> exported .pth -> our pytree:
     identical decode."""
-    import jax
-
     from neural_speech_decoding_tpu.config import FilterConfig
     from neural_speech_decoding_tpu.models.lstm import decoder_logits
     from neural_speech_decoding_tpu.ops.kuramoto import mai_filter_batch

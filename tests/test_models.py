@@ -56,8 +56,6 @@ def test_models_jit_and_grad(name, windows):
 
 def test_train_registry_model_smoke(dataset):
     """EEGNet trains through the generic loop."""
-    import dataclasses
-
     from neural_speech_decoding_tpu.train.loop import TrainConfig, train
 
     sub = dataset._take(np.arange(0, len(dataset), 6))

@@ -1,6 +1,5 @@
 """Native C++ board engine tests (builds native/ on demand)."""
 
-import queue
 import subprocess
 import time
 from pathlib import Path

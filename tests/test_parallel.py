@@ -1,7 +1,6 @@
 """Mesh/sharding tests on the 8-device virtual CPU platform."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -5,7 +5,6 @@ import dataclasses
 import jax
 import numpy as np
 import optax
-import pytest
 
 from neural_speech_decoding_tpu.config import DecoderConfig
 from neural_speech_decoding_tpu.models.lstm import init_decoder_params
