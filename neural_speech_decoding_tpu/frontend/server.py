@@ -13,6 +13,9 @@ Endpoints:
   GET  /api/state   last snapshot as JSON
   POST /api/decode  {"mode": "mock"|"device", "board": ..., "speed": ...,
                      "trials": ..., "family": ..., "model_path": ...}
+  POST /api/stream  {"board": ..., "speed": ..., "predictions": ...,
+                     "hop_seconds": ..., "average_n": ..., "family": ...}
+                    -> continuous sliding-window decode (runtime/stream.py)
 """
 
 from __future__ import annotations
@@ -125,6 +128,9 @@ class Handler(BaseHTTPRequestHandler):
             self._send(404, b'{"error": "not found"}')
 
     def do_POST(self):
+        if self.path == "/api/stream":
+            self._handle_stream()
+            return
         if self.path != "/api/decode":
             self._send(404, b'{"error": "not found"}')
             return
@@ -152,6 +158,56 @@ class Handler(BaseHTTPRequestHandler):
                                         "word_probs": {}, "eeg": None,
                                         "transcript": "", "stats_line": "",
                                         "timestamp": ""}).encode())
+
+    def _handle_stream(self):
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            family = req.get("family", "lstm")
+            engine = STATE.engines.get(family)
+            if engine is None:
+                from neural_speech_decoding_tpu.runtime.engine import InferenceEngine
+                from neural_speech_decoding_tpu.runtime.tester import default_model_path
+
+                engine = InferenceEngine(
+                    req.get("model_path") or default_model_path(),
+                    model=family,
+                    class_names=("Food", "Water", "None") if family == "lstm" else None,
+                )
+                STATE.engines[family] = engine
+
+            from neural_speech_decoding_tpu.runtime.board import open_board
+            from neural_speech_decoding_tpu.runtime.stream import StreamDecoder
+
+            board = open_board(req.get("board", "replay"),
+                               speed=float(req.get("speed", 32.0)))
+            dec = StreamDecoder(
+                engine,
+                board,
+                window_seconds=float(req.get("window_seconds", 5.0)),
+                hop_seconds=float(req.get("hop_seconds", 1.0)),
+                average_n=int(req.get("average_n", 10)),
+            )
+            preds, stats = dec.run(int(req.get("predictions", 10)),
+                                   timeout=float(req.get("timeout", 120.0)))
+            body = {
+                "predictions": [
+                    {
+                        "index": p.index,
+                        "label": p.label,
+                        "probs": p.probs.tolist(),
+                        "avg_probs": p.avg_probs.tolist(),
+                        "latency_ms": (p.t_ready - p.t_window) * 1e3,
+                    }
+                    for p in preds
+                ],
+                "windows_per_second": stats.windows_per_second,
+                "latency_p50_ms": stats.latency.percentile(50) * 1e3,
+                "latency_p90_ms": stats.latency.percentile(90) * 1e3,
+            }
+            self._send(200, json.dumps(body).encode())
+        except Exception as exc:
+            self._send(500, json.dumps({"error": str(exc)}).encode())
 
 
 def serve(port: int = 8777, warm_family: Optional[str] = "lstm"):

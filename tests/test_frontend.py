@@ -103,3 +103,38 @@ def test_dashboard_404(dashboard):
 
     with pytest.raises(urllib.error.HTTPError):
         _get(dashboard + "/api/nope")
+
+
+def test_dashboard_stream_endpoint(dashboard, dataset, checkpoint_path, monkeypatch):
+    """Streaming endpoint runs the continuous decoder over a replay board."""
+    import neural_speech_decoding_tpu.frontend.server as srv
+    from neural_speech_decoding_tpu.runtime.engine import InferenceEngine
+
+    eng = InferenceEngine(str(checkpoint_path), class_names=("Food", "Water", "None"))
+    eng.warmup([1])
+    srv.STATE.engines["lstm"] = eng
+
+    import neural_speech_decoding_tpu.runtime.board as board_mod
+
+    monkeypatch.setattr(
+        board_mod,
+        "open_board",
+        lambda spec, num_channels=8, speed=1.0: board_mod.ReplayBoard(
+            dataset.windows[:3], speed=256.0
+        ),
+    )
+    status, body = _post(
+        dashboard + "/api/stream",
+        {"board": "replay", "predictions": 3, "hop_seconds": 1.0, "timeout": 60},
+    )
+    assert status == 200
+    assert len(body["predictions"]) == 3
+    assert body["latency_p50_ms"] > 0
+    for p in body["predictions"]:
+        assert abs(sum(p["probs"]) - 1.0) < 1e-4
+
+
+def test_dashboard_stream_error(dashboard):
+    status, body = _post(dashboard + "/api/stream", {"board": "/dev/nope", "predictions": 1})
+    assert status == 500
+    assert "error" in body
