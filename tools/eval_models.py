@@ -70,8 +70,10 @@ def main() -> None:
         ("lstm", "checkpoints/lstm3_retrained.npz"),
         ("eegnet", "checkpoints/eegnet3.npz"),
         ("eegnet", "checkpoints/eegnet3_aug.npz"),
+        ("eegnet", "checkpoints/eegnet3_best.npz"),
         ("transformer", "checkpoints/transformer3.npz"),
         ("transformer", "checkpoints/transformer3_aug.npz"),
+        ("transformer", "checkpoints/transformer3_best.npz"),
     ]:
         p = REPO_ROOT / path
         if not p.is_file():
@@ -83,11 +85,13 @@ def main() -> None:
     _, val5 = ds5.split(args.val_fraction, seed=args.seed)
     x5 = np.asarray(mai_filter_batch(val5.windows, fcfg))
     y5 = val5.labels
-    p5 = REPO_ROOT / "checkpoints/lstm5.npz"
-    if p5.is_file():
-        results["lstm5 (5-class, lstm5.npz)"] = evaluate(
-            "lstm5", load_params_npz(p5), x5, y5
-        )
+    for name5, path5 in [("lstm5", "checkpoints/lstm5.npz"),
+                         ("eegnet5", "checkpoints/eegnet5_best.npz")]:
+        p5 = REPO_ROOT / path5
+        if p5.is_file():
+            results[f"{name5} (5-class, {p5.name})"] = evaluate(
+                name5, load_params_npz(p5), x5, y5
+            )
 
     width = max(len(k) for k in results)
     print(f"{'model':<{width}}  val_acc")
