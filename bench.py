@@ -89,7 +89,9 @@ def cpu_reference_windows_per_sec(windows: np.ndarray) -> float:
     return CPU_WINDOWS / dt
 
 
-def tpu_windows_per_sec(windows: np.ndarray) -> tuple[float, float, str]:
+def tpu_windows_per_sec(windows: np.ndarray) -> tuple[float, float, float, str]:
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -102,11 +104,17 @@ def tpu_windows_per_sec(windows: np.ndarray) -> tuple[float, float, str]:
     params = jax.device_put(load_decoder_params(CKPT))
     filter_cfg = FilterConfig(precision="fast")
     decoder_cfg = DecoderConfig()
+    turbo_cfg = dataclasses.replace(decoder_cfg, recurrence_dtype="bfloat16")
 
     @jax.jit
     def pipeline(p, w):
         filtered = jax.vmap(lambda x: mai_filter(x, filter_cfg))(w)
         return jax.nn.softmax(decoder_apply(p, filtered, decoder_cfg), axis=-1)
+
+    @jax.jit
+    def pipeline_turbo(p, w):
+        filtered = jax.vmap(lambda x: mai_filter(x, filter_cfg))(w)
+        return jax.nn.softmax(decoder_apply(p, filtered, turbo_cfg), axis=-1)
 
     reps = int(np.ceil(TPU_BATCH / windows.shape[0]))
     batch = jnp.asarray(
@@ -128,6 +136,14 @@ def tpu_windows_per_sec(windows: np.ndarray) -> tuple[float, float, str]:
     dt = time.perf_counter() - t0
     throughput = TPU_BATCH * TPU_ITERS / dt
 
+    # turbo mode (bf16 recurrence) as a secondary figure
+    np.asarray(pipeline_turbo(params, batch))
+    t0 = time.perf_counter()
+    for _ in range(TPU_ITERS):
+        out = pipeline_turbo(params, batch)
+    np.asarray(out)
+    turbo_throughput = TPU_BATCH * TPU_ITERS / (time.perf_counter() - t0)
+
     # single-window (batch-1) decode latency, warm, synced per call
     # (includes the tunnel round-trip — the honest trial-to-prediction
     # number a client of this host observes)
@@ -139,12 +155,12 @@ def tpu_windows_per_sec(windows: np.ndarray) -> tuple[float, float, str]:
         np.asarray(pipeline(params, one))
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)
-    return throughput, p50_ms, device_kind
+    return throughput, turbo_throughput, p50_ms, device_kind
 
 
 def main() -> None:
     windows = _load_windows()
-    tpu_wps, p50_ms, device_kind = tpu_windows_per_sec(windows)
+    tpu_wps, turbo_wps, p50_ms, device_kind = tpu_windows_per_sec(windows)
     try:
         cpu_wps = cpu_reference_windows_per_sec(windows)
     except Exception as e:  # torch missing etc. — report throughput alone
@@ -159,6 +175,7 @@ def main() -> None:
                 "unit": "windows/s/chip",
                 "vs_baseline": round(vs, 1) if vs else None,
                 "cpu_reference_wps": round(cpu_wps, 2) if np.isfinite(cpu_wps) else None,
+                "turbo_bf16_wps": round(turbo_wps, 1),
                 "batch1_p50_latency_ms": round(p50_ms, 2),
                 "batch": TPU_BATCH,
                 "device": device_kind,

@@ -63,6 +63,12 @@ class DecoderConfig:
     rrelu_lower: float = 1.0 / 8.0
     rrelu_upper: float = 1.0 / 3.0
     layernorm_eps: float = 1e-5
+    # dtype of the LSTM recurrence (gate math + recurrent matmul).
+    # "float32" is the parity default; "bfloat16" is the TPU turbo mode:
+    # ~1.45x decode throughput at ~99.5% argmax agreement (the disagreeing
+    # windows are borderline cases where pure-f32 op reordering already
+    # flips ~1%). Attention/head always run f32.
+    recurrence_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -85,8 +85,13 @@ def _lstm_layer(
     layer: Params,
     x_btc: jnp.ndarray,
     precision,
+    recurrence_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """One LSTM layer over the full sequence. [B, T, in] -> [B, T, H]."""
+    """One LSTM layer over the full sequence. [B, T, in] -> [B, T, H].
+
+    `recurrence_dtype` controls the dtype of the recurrent matmul + gate
+    math (bfloat16 = TPU turbo mode; input projection and outputs stay
+    f32-accumulated)."""
     b, t, _ = x_btc.shape
     h_dim = layer["w_hh"].shape[0]
 
@@ -94,10 +99,10 @@ def _lstm_layer(
     xp = (
         jnp.einsum("bti,ih->bth", x_btc, layer["w_ih"], precision=precision)
         + layer["b"]
-    )
+    ).astype(recurrence_dtype)
     xp_tbh = jnp.transpose(xp, (1, 0, 2))  # time-major for scan
 
-    w_hh = layer["w_hh"]
+    w_hh = layer["w_hh"].astype(recurrence_dtype)
 
     def step(carry: Tuple[jnp.ndarray, jnp.ndarray], xp_t: jnp.ndarray):
         h, c = carry
@@ -113,10 +118,13 @@ def _lstm_layer(
 
     # derive the zero state from the data (not a fresh constant) so it
     # carries the same shard-varying axes under shard_map
-    zero = jnp.zeros((b, h_dim), x_btc.dtype) + x_btc[:, :1, 0] * 0.0
+    zero = (
+        jnp.zeros((b, h_dim), recurrence_dtype)
+        + (x_btc[:, :1, 0] * 0.0).astype(recurrence_dtype)
+    )
     init = (zero, zero)
     _, hs = jax.lax.scan(step, init, xp_tbh)
-    return jnp.transpose(hs, (1, 0, 2))  # back to [B, T, H]
+    return jnp.transpose(hs, (1, 0, 2)).astype(jnp.float32)  # [B, T, H]
 
 
 def _rrelu(
@@ -153,9 +161,10 @@ def decoder_apply(
     n_layers = len(params["lstm"])
     rngs = jax.random.split(rng, n_layers + 2) if train else [None] * (n_layers + 2)
 
+    rec_dtype = jnp.dtype(config.recurrence_dtype)
     out = x
     for l, layer in enumerate(params["lstm"]):
-        out = _lstm_layer(layer, out, precision)
+        out = _lstm_layer(layer, out, precision, rec_dtype)
         if train and config.dropout > 0 and l < n_layers - 1:
             # torch applies inter-layer dropout to every layer output except
             # the last one (nn.LSTM dropout semantics).

@@ -42,10 +42,15 @@ class InferenceEngine:
         class_names: Optional[Sequence[str]] = None,
         sample_rate: Optional[int] = None,
         model: str = "lstm",
+        turbo: bool = False,
         donate: bool = False,
     ):
         """`model` is a registry family name; `model_path` accepts the
-        reference .pth (LSTM families) or our native .npz pytrees."""
+        reference .pth (LSTM families) or our native .npz pytrees.
+        `turbo` runs the LSTM recurrence in bfloat16 (~1.45x throughput,
+        ~99.5% argmax agreement)."""
+        import dataclasses as _dc
+
         from neural_speech_decoding_tpu.models.registry import get_model
 
         spec = get_model(model)
@@ -85,6 +90,8 @@ class InferenceEngine:
 
         filter_cfg: FilterConfig = config.filter
         decoder_cfg: DecoderConfig = config.decoder
+        if turbo:
+            decoder_cfg = _dc.replace(decoder_cfg, recurrence_dtype="bfloat16")
 
         if model.startswith("lstm"):
             # reference-parity path: honor any custom DecoderConfig coming

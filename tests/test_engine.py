@@ -56,3 +56,12 @@ def test_sample_rate_quirk(checkpoint_path):
 def test_needs_model_or_params():
     with pytest.raises(ValueError, match="model_path or params"):
         InferenceEngine()
+
+
+def test_turbo_mode_argmax_agreement(checkpoint_path, dataset):
+    """bf16 recurrence keeps predictions aligned with f32 on real data."""
+    base = InferenceEngine(str(checkpoint_path))
+    turbo = InferenceEngine(str(checkpoint_path), turbo=True)
+    a = base.predict_batch(dataset.windows[:32]).argmax(1)
+    b = turbo.predict_batch(dataset.windows[:32]).argmax(1)
+    assert (a == b).mean() >= 0.9
