@@ -31,7 +31,7 @@ CKPT = os.environ.get(
     "lstm_classifier_Water_Food_Bg_Noise.pth",
 )
 
-TPU_BATCH = int(os.environ.get("NSD_BENCH_BATCH", 4096))
+TPU_BATCH = int(os.environ.get("NSD_BENCH_BATCH", 16384))
 TPU_ITERS = int(os.environ.get("NSD_BENCH_ITERS", 8))
 CPU_WINDOWS = int(os.environ.get("NSD_BENCH_CPU_WINDOWS", 6))
 
