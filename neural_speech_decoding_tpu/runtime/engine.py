@@ -140,3 +140,37 @@ class InferenceEngine:
         """Dispatch without blocking; returns the device array future.
         Callers pipeline acquisition against device compute."""
         return self._pipeline(self.params, windows_btc)
+
+    def decode_recording(
+        self,
+        signal_tc: np.ndarray,
+        hop_seconds: float = 1.0,
+        max_batch: int = 4096,
+    ):
+        """Bulk-decode a continuous recording [T_total, C]: epoch into
+        sliding windows on device and decode batched. Returns
+        (probs [N, classes], window_start_seconds [N])."""
+        from neural_speech_decoding_tpu.ops.epoching import (
+            frame_signal,
+            frame_times,
+            num_frames,
+        )
+
+        window = self.config.window_samples
+        hop = max(1, int(hop_seconds * self.config.sample_rate))
+        total = signal_tc.shape[0]
+        n = num_frames(total, window, hop)
+        if n <= 0:
+            raise ValueError(
+                f"recording of {total} samples is shorter than one "
+                f"{window}-sample window"
+            )
+        windows = np.asarray(
+            frame_signal(jnp.asarray(signal_tc, jnp.float32), window, hop)
+        )
+        chunks = [
+            self.predict_batch(windows[i : i + max_batch])
+            for i in range(0, n, max_batch)
+        ]
+        starts, _ = frame_times(total, window, hop, self.config.sample_rate)
+        return np.concatenate(chunks, axis=0), np.asarray(starts)
