@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--label-smoothing", type=float, default=0.0)
     ap.add_argument("--augment", type=float, default=0.0,
                     help="noise-injection augmentation probability")
+    ap.add_argument("--schedule", default="constant", choices=("constant", "cosine"))
+    ap.add_argument("--patience", type=int, default=0,
+                    help="early-stop patience in epochs (0 = off)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--val-fraction", type=float, default=0.2)
     ap.add_argument("--lambda", dest="lambd", type=float, default=1.25e-29,
@@ -73,6 +76,8 @@ def main() -> None:
             seed=args.seed,
             val_fraction=args.val_fraction,
             augment_prob=args.augment,
+            schedule=args.schedule,
+            early_stop_patience=args.patience,
         ),
         filter_cfg=FilterConfig(lambd=args.lambd, precision="fast"),
         mesh=mesh,

@@ -39,6 +39,12 @@ class TrainConfig:
     grad_clip: float = 1.0
     seed: int = 0
     val_fraction: float = 0.2
+    # lr schedule: "constant" | "cosine" (cosine decays to lr/100 over the
+    # run with `warmup_epochs` of linear warmup)
+    schedule: str = "constant"
+    warmup_epochs: int = 5
+    # stop after this many epochs without val-accuracy improvement; 0 = off
+    early_stop_patience: int = 0
     # noise-injection augmentation (train/augment.py); 0 disables
     augment_prob: float = 0.0
     # orbax checkpoint/resume (train/checkpointing.py); None disables
@@ -135,11 +141,27 @@ def _pad_to_multiple(x: np.ndarray, m: int) -> Tuple[np.ndarray, np.ndarray]:
     return x, w
 
 
-def _optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def _optimizer(
+    cfg: TrainConfig, steps_per_epoch: int = 1
+) -> optax.GradientTransformation:
+    if cfg.schedule == "cosine":
+        warmup = max(1, cfg.warmup_epochs * steps_per_epoch)
+        total = max(warmup + 1, cfg.epochs * steps_per_epoch)
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=cfg.learning_rate / 100.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=warmup,
+            decay_steps=total,
+            end_value=cfg.learning_rate / 100.0,
+        )
+    elif cfg.schedule == "constant":
+        lr = cfg.learning_rate
+    else:
+        raise ValueError(f"unknown schedule {cfg.schedule!r}")
     tx = (
-        optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+        optax.adamw(lr, weight_decay=cfg.weight_decay)
         if cfg.weight_decay > 0
-        else optax.adam(cfg.learning_rate)
+        else optax.adam(lr)
     )
     if cfg.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
@@ -202,7 +224,8 @@ def train(
         rng, k = jax.random.split(rng)
         init_params = spec.init(k) if spec is not None else init_decoder_params(k, decoder_cfg)
 
-    optimizer = _optimizer(train_cfg)
+    steps_per_epoch = max(1, x_train.shape[0] // max(1, train_cfg.batch_size))
+    optimizer = _optimizer(train_cfg, steps_per_epoch)
     opt_state = optimizer.init(init_params)
     step_fn = make_train_step(model_for_step, optimizer, train_cfg.label_smoothing)
     eval_fn = make_eval_fn(model_for_step)
@@ -258,6 +281,7 @@ def train(
 
     history: List[Dict[str, float]] = []
     best_acc, best_params = -1.0, None
+    epochs_since_best = 0
     n = x_train.shape[0]
     np_rng = np.random.default_rng(train_cfg.seed + start_epoch)
     t0 = time.perf_counter()
@@ -282,6 +306,10 @@ def train(
             "wall_s": time.perf_counter() - t0,
         }
         history.append(rec)
+        if rec["val_accuracy"] > best_acc:
+            epochs_since_best = 0
+        else:
+            epochs_since_best += 1
         if train_cfg.keep_best and rec["val_accuracy"] >= best_acc:
             best_acc = rec["val_accuracy"]
             best_params = jax.tree_util.tree_map(np.asarray, params)
@@ -300,6 +328,14 @@ def train(
             ckpt.save_train_state(
                 train_cfg.checkpoint_dir, epoch, params, opt_state
             )
+        if (
+            train_cfg.early_stop_patience > 0
+            and epochs_since_best >= train_cfg.early_stop_patience
+        ):
+            if verbose:
+                print(f"early stop at epoch {epoch} (patience "
+                      f"{train_cfg.early_stop_patience})", flush=True)
+            break
     if train_cfg.keep_best and best_params is not None:
         return best_params, history
     return params, history

@@ -83,3 +83,30 @@ def test_augment_batch(dataset):
     xa, ya = augment_batch_np(x, y, prob=0.5, seed=0)
     assert xa.shape[0] == ya.shape[0]
     assert 0 < xa.shape[0] <= 20
+
+
+def test_cosine_schedule_and_early_stop(tiny_dataset):
+    cfg = DecoderConfig(num_classes=3, dropout=0.0)
+    params, history = train(
+        tiny_dataset,
+        decoder_cfg=cfg,
+        train_cfg=TrainConfig(
+            epochs=30, batch_size=16, schedule="cosine", warmup_epochs=2,
+            early_stop_patience=3,
+        ),
+        verbose=False,
+    )
+    # either ran to completion or stopped early; history is contiguous
+    assert 3 <= len(history) <= 30
+    assert np.isfinite(history[-1]["train_loss"])
+
+
+def test_unknown_schedule_rejected(tiny_dataset):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown schedule"):
+        train(
+            tiny_dataset,
+            train_cfg=TrainConfig(epochs=1, schedule="nope"),
+            verbose=False,
+        )
