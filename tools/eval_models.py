@@ -86,7 +86,9 @@ def main() -> None:
     x5 = np.asarray(mai_filter_batch(val5.windows, fcfg))
     y5 = val5.labels
     for name5, path5 in [("lstm5", "checkpoints/lstm5.npz"),
-                         ("eegnet5", "checkpoints/eegnet5_best.npz")]:
+                         ("lstm5", "checkpoints/lstm5_best.npz"),
+                         ("eegnet5", "checkpoints/eegnet5_best.npz"),
+                         ("transformer5", "checkpoints/transformer5_best.npz")]:
         p5 = REPO_ROOT / path5
         if p5.is_file():
             results[f"{name5} (5-class, {p5.name})"] = evaluate(
