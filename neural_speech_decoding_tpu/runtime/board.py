@@ -306,8 +306,9 @@ def open_board(spec: str, num_channels: int = 8, speed: float = 1.0) -> Board:
       "replay"                 replay the default dataset directory
       "native-synthetic"       C++ engine synthetic board
       "native-replay[:path]"   C++ engine replay board
-      anything else            treated as a hardware serial port — not
-                               available in this environment
+      "serial:<device>"        live text-frame acquisition from a serial
+                               character device (runtime/serial_board.py)
+      anything else            treated as an unadapted hardware port
     """
     if spec == "synthetic":
         return SyntheticBoard(num_channels=num_channels, speed=speed)
@@ -340,7 +341,13 @@ def open_board(spec: str, num_channels: int = 8, speed: float = 1.0) -> Board:
             speed=speed,
             replay_data=data,
         )
+    if spec.startswith("serial:"):
+        from neural_speech_decoding_tpu.runtime.serial_board import SerialBoard
+
+        return SerialBoard(spec.split(":", 1)[1], num_channels=num_channels)
     raise RuntimeError(
-        f"board spec {spec!r} looks like a hardware serial port; real serial "
-        "acquisition is not available here — use 'replay[:path]' or 'synthetic'"
+        f"board spec {spec!r} looks like a hardware serial port; the "
+        "BrainFlow binary protocol is not available here — use "
+        "'serial:<device>' for text-frame devices, or 'replay[:path]' / "
+        "'synthetic'"
     )
