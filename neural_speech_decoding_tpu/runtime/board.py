@@ -218,17 +218,21 @@ class ReplayBoard(Board):
     def _load(self, source) -> np.ndarray:
         if isinstance(source, np.ndarray):
             arr = source
-            if arr.ndim == 3:  # [N, T, C] stack of windows
-                arr = np.concatenate(list(arr), axis=0)
-            # [T, C] -> [C, T]
-            return np.ascontiguousarray(arr.T, dtype=np.float64)
-        path = Path(source)
-        from neural_speech_decoding_tpu.io.dataset import load_trials
+        else:
+            path = Path(source)
+            if path.suffix == ".npy":
+                arr = np.load(path, allow_pickle=False)
+            else:
+                from neural_speech_decoding_tpu.io.dataset import load_trials
 
-        ds = load_trials(path, strict_shape=False)
-        return np.ascontiguousarray(
-            np.concatenate(list(ds.windows), axis=0).T, dtype=np.float64
-        )
+                ds = load_trials(path, strict_shape=False)
+                arr = np.concatenate(list(ds.windows), axis=0)
+        if arr.ndim == 3:  # [N, T, C] stack of windows
+            arr = np.concatenate(list(arr), axis=0)
+        if arr.ndim != 2:
+            raise ValueError(f"replay source must be 2D/3D, got {arr.shape}")
+        # [T, C] -> [C, T]
+        return np.ascontiguousarray(arr.T, dtype=np.float64)
 
     def _generate(self, start: int, k: int) -> np.ndarray:
         total = self._data.shape[1]

@@ -203,3 +203,21 @@ def test_simple_predictor_compat(dataset, checkpoint_path, golden):
     assert probs.dtype == np.float32
     np.testing.assert_allclose(probs, golden["probs"][0], atol=1e-4)
     assert label == ("Food", "Water", "BG-Noise")[int(golden["probs"][0].argmax())]
+
+
+def test_replay_board_from_npy(tmp_path, dataset):
+    path = tmp_path / "trials.npy"
+    np.save(path, dataset.windows[:2])
+    b = ReplayBoard(str(path), speed=128.0)
+    b.prepare_session()
+    b.start_stream(5000)
+    try:
+        deadline = time.time() + 10
+        while b.get_board_data_count() < 100 and time.time() < deadline:
+            time.sleep(0.01)
+        assert b.get_board_data_count() >= 100
+    finally:
+        b.stop_stream()
+        b.release_session()
+    with pytest.raises(ValueError, match="2D/3D"):
+        ReplayBoard(np.zeros((5,), np.float32))

