@@ -138,3 +138,16 @@ def test_dashboard_stream_error(dashboard):
     status, body = _post(dashboard + "/api/stream", {"board": "/dev/nope", "predictions": 1})
     assert status == 500
     assert "error" in body
+
+
+def test_streamlit_app_compiles():
+    """streamlit isn't installed here; at minimum the app must be valid
+    Python (syntax-checked without executing)."""
+    import py_compile
+    from pathlib import Path
+
+    path = (
+        Path(__file__).resolve().parents[1]
+        / "neural_speech_decoding_tpu/frontend/app.py"
+    )
+    py_compile.compile(str(path), doraise=True)
