@@ -23,6 +23,7 @@ from neural_speech_decoding_tpu.config import (
 )
 from neural_speech_decoding_tpu.models import eegnet as _eegnet
 from neural_speech_decoding_tpu.models import lstm as _lstm
+from neural_speech_decoding_tpu.models import tcn as _tcn
 from neural_speech_decoding_tpu.models import transformer as _transformer
 
 
@@ -61,6 +62,19 @@ def _eegnet_spec(name: str, num_classes: int, class_names) -> "ModelSpec":
     )
 
 
+def _tcn_spec(name: str, num_classes: int, class_names) -> "ModelSpec":
+    cfg = _tcn.TCNConfig(num_classes=num_classes)
+    return ModelSpec(
+        name=name,
+        config=cfg,
+        class_names=tuple(class_names),
+        init=lambda rng: _tcn.init_tcn_params(rng, cfg),
+        apply=lambda p, x, *, train=False, rng=None: _tcn.tcn_apply(
+            p, x, cfg, train=train, rng=rng
+        ),
+    )
+
+
 def _transformer_spec(name: str, num_classes: int, class_names) -> "ModelSpec":
     cfg = _transformer.TransformerConfig(num_classes=num_classes)
     return ModelSpec(
@@ -81,6 +95,8 @@ _BUILDERS: Dict[str, Callable[[], ModelSpec]] = {
     "eegnet5": lambda: _eegnet_spec("eegnet5", 5, FIVE_CLASS_NAMES),
     "transformer": lambda: _transformer_spec("transformer", 3, THREE_CLASS_NAMES),
     "transformer5": lambda: _transformer_spec("transformer5", 5, FIVE_CLASS_NAMES),
+    "tcn": lambda: _tcn_spec("tcn", 3, THREE_CLASS_NAMES),
+    "tcn5": lambda: _tcn_spec("tcn5", 5, FIVE_CLASS_NAMES),
 }
 
 

@@ -14,7 +14,7 @@ def windows():
     return rng.standard_normal((4, 625, 8)).astype(np.float32)
 
 
-@pytest.mark.parametrize("name", ["lstm", "lstm5", "eegnet", "transformer"])
+@pytest.mark.parametrize("name", ["lstm", "lstm5", "eegnet", "transformer", "tcn"])
 def test_model_forward_shapes(name, windows):
     spec = get_model(name)
     params = spec.init(jax.random.PRNGKey(0))
@@ -34,7 +34,7 @@ def test_registry_unknown():
     assert "lstm" in available_models()
 
 
-@pytest.mark.parametrize("name", ["eegnet", "transformer"])
+@pytest.mark.parametrize("name", ["eegnet", "transformer", "tcn"])
 def test_models_jit_and_grad(name, windows):
     spec = get_model(name)
     params = spec.init(jax.random.PRNGKey(0))
