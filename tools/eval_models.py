@@ -74,6 +74,7 @@ def main() -> None:
         ("transformer", "checkpoints/transformer3.npz"),
         ("transformer", "checkpoints/transformer3_aug.npz"),
         ("transformer", "checkpoints/transformer3_best.npz"),
+        ("tcn", "checkpoints/tcn3_best.npz"),
     ]:
         p = REPO_ROOT / path
         if not p.is_file():
