@@ -75,6 +75,8 @@ def main() -> None:
         ("transformer", "checkpoints/transformer3_aug.npz"),
         ("transformer", "checkpoints/transformer3_best.npz"),
         ("tcn", "checkpoints/tcn3_best.npz"),
+        ("tcn", "checkpoints/tcn3_cosine.npz"),
+        ("eegnet", "checkpoints/eegnet3_cosine.npz"),
     ]:
         p = REPO_ROOT / path
         if not p.is_file():
