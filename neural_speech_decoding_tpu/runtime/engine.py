@@ -48,7 +48,8 @@ class InferenceEngine:
         """`model` is a registry family name; `model_path` accepts the
         reference .pth (LSTM families) or our native .npz pytrees.
         `turbo` runs the LSTM recurrence in bfloat16 (~1.45x throughput,
-        ~99.5% argmax agreement)."""
+        ~99.5% argmax agreement); it is a no-op for non-recurrent families,
+        which have no serial bottleneck to relax."""
         import dataclasses as _dc
 
         from neural_speech_decoding_tpu.models.registry import get_model
@@ -122,6 +123,8 @@ class InferenceEngine:
         """[B, T, C] -> probabilities [B, num_classes] (f32)."""
         windows_btc = np.asarray(windows_btc, dtype=np.float32)
         b = windows_btc.shape[0]
+        if b == 0:
+            return np.zeros((0, len(self.class_names)), np.float32)
         bb = _bucket(b)
         if bb != b:
             pad = np.zeros((bb - b,) + windows_btc.shape[1:], np.float32)

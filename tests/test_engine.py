@@ -65,3 +65,8 @@ def test_turbo_mode_argmax_agreement(checkpoint_path, dataset):
     a = base.predict_batch(dataset.windows[:32]).argmax(1)
     b = turbo.predict_batch(dataset.windows[:32]).argmax(1)
     assert (a == b).mean() >= 0.9
+
+
+def test_empty_batch(engine):
+    out = engine.predict_batch(np.zeros((0, 625, 8), np.float32))
+    assert out.shape == (0, 3)
