@@ -5,6 +5,12 @@ model per fold and reports mean ± std held-out accuracy, plus the reference
 checkpoint evaluated on the same folds (remember: it trained on all of
 them, so its number is an upper bound of its true held-out accuracy).
 
+Protocol note: per fold we report the best epoch's fold accuracy (epoch
+selection on the fold), mirroring keep_best deployment; a fully nested
+protocol would hold out a second split for epoch selection — on 143
+training trials that is noisier than the bias it removes. The reference's
+~70% claim has no published protocol at all.
+
   python tools/crossval.py --model lstm --folds 5 --epochs 120
 """
 
@@ -20,16 +26,14 @@ import numpy as np
 REPO_ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO_ROOT))
 
-import dataclasses
-
 import jax
 
 from neural_speech_decoding_tpu.config import FilterConfig
 from neural_speech_decoding_tpu.io.checkpoint import load_decoder_params
-from neural_speech_decoding_tpu.io.dataset import TrialDataset, load_trials
+from neural_speech_decoding_tpu.io.dataset import load_trials
 from neural_speech_decoding_tpu.models.registry import get_model
 from neural_speech_decoding_tpu.ops.kuramoto import mai_filter_batch
-from neural_speech_decoding_tpu.train.loop import TrainConfig, train
+from neural_speech_decoding_tpu.train.loop import TrainConfig
 
 REFERENCE_CKPT = (
     "/root/reference/Neuro-Alpha-App/Utilities/LSTM_Model/"
@@ -55,6 +59,7 @@ def main() -> None:
     ap.add_argument("--augment", type=float, default=0.5)
     ap.add_argument("--label-smoothing", type=float, default=0.1)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--schedule", default="constant", choices=("constant", "cosine"))
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
@@ -70,12 +75,6 @@ def main() -> None:
     ours, theirs = [], []
     for fold_i, val_idx in enumerate(folds):
         train_idx = np.setdiff1d(np.arange(len(ds)), val_idx)
-        sub = TrialDataset(
-            windows=ds.windows[np.concatenate([train_idx, val_idx])],
-            labels=ds.labels[np.concatenate([train_idx, val_idx])],
-            class_prefixes=ds.class_prefixes,
-            files=tuple(np.asarray(ds.files)[np.concatenate([train_idx, val_idx])]),
-        )
         # the loop's own split would re-split; train manually instead
         x_train, y_train = filtered[train_idx], ds.labels[train_idx]
         x_val, y_val = filtered[val_idx], ds.labels[val_idx]
@@ -98,6 +97,7 @@ def main() -> None:
         cfg = TrainConfig(
             learning_rate=args.lr, epochs=args.epochs, batch_size=32,
             label_smoothing=args.label_smoothing, seed=args.seed + fold_i,
+            schedule=args.schedule,
         )
         optimizer = _optimizer(cfg, max(1, len(x_train) // 32))
         rng = jax.random.PRNGKey(cfg.seed)
