@@ -107,6 +107,79 @@ def sosfilt(sos, x_tc: jnp.ndarray, zi: Optional[jnp.ndarray] = None) -> jnp.nda
     return y
 
 
+def sosfiltfilt_parallel(
+    sos,
+    x_tc: jnp.ndarray,
+    padtype: Optional[str] = "odd",
+    padlen: Optional[int] = None,
+) -> jnp.ndarray:
+    """Zero-phase filtering via the parallel (associative-scan) cascade.
+    Same semantics as sosfiltfilt, including scipy's odd-extension +
+    steady-state initial conditions (folded into the affine scan's first
+    element)."""
+    if padtype is None:
+        y = sosfilt_parallel(sos, x_tc)
+        return sosfilt_parallel(sos, y[::-1])[::-1]
+    if padtype != "odd":
+        raise ValueError("padtype must be 'odd' or None")
+    n = default_padlen(sos) if padlen is None else int(padlen)
+    if n >= x_tc.shape[0]:
+        raise ValueError(f"padlen {n} >= signal length {x_tc.shape[0]}")
+    ext = _odd_ext(x_tc, n)
+    zi = jnp.asarray(sosfilt_zi(sos), ext.dtype)
+    y = sosfilt_parallel(sos, ext, zi=zi[:, :, None] * ext[0][None, None, :])
+    y = y[::-1]
+    y = sosfilt_parallel(sos, y, zi=zi[:, :, None] * y[0][None, None, :])[::-1]
+    return y[n : n + x_tc.shape[0]]
+
+
+def sosfilt_parallel(sos, x_tc: jnp.ndarray, zi: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Biquad cascade as parallel (log-depth) associative scans.
+
+    A DF2T biquad is an affine recurrence in its 2-vector state z:
+
+        z_{t+1} = A z_t + B x_t,   y_t = b0 x_t + z_t[0]
+        A = [[-a1, 1], [-a2, 0]],  B = [b1 - a1 b0, b2 - a2 b0]
+
+    Affine maps compose associatively, so the whole time axis runs as a
+    `lax.associative_scan` — O(log T) depth instead of T sequential steps.
+    On TPU this is ~2 orders of magnitude faster than the scan/Pallas
+    per-step formulations for batched windows (sequential tiny steps are
+    loop-overhead-bound). Numerics match sosfilt to f32 accumulation error.
+
+    x_tc: [T, C] (C can be batch*channels). `zi`: optional initial states
+    [S, 2, C] (sosfilt semantics). Returns [T, C].
+    """
+    sos = _sos_array(sos)
+    t = x_tc.shape[0]
+    y = x_tc
+    for s, (b0, b1, b2, _a0, a1, a2) in enumerate(sos):
+        a_mat = jnp.asarray([[-a1, 1.0], [-a2, 0.0]], y.dtype)
+        b_vec = jnp.asarray([b1 - a1 * b0, b2 - a2 * b0], y.dtype)
+        a_seq = jnp.broadcast_to(a_mat, (t, 2, 2))
+        b_seq = y[:, :, None] * b_vec  # [T, C, 2]
+
+        def combine(e1, e2):
+            a1m, b1v = e1
+            a2m, b2v = e2
+            return (
+                jnp.einsum("tij,tjk->tik", a2m, a1m),
+                jnp.einsum("tij,tcj->tci", a2m, b1v) + b2v,
+            )
+
+        a_cum, b_cum = jax.lax.associative_scan(combine, (a_seq, b_seq), axis=0)
+        # z_{t+1} = (e_t o ... o e_1)(z_init) = A_cum_t z_init + b_cum_t
+        if zi is not None:
+            z_init = zi[s].T.astype(y.dtype)  # [C, 2]
+            b_cum = b_cum + jnp.einsum("tij,cj->tci", a_cum, z_init)
+            z1_first = z_init[None, :, 0]
+        else:
+            z1_first = jnp.zeros_like(b_cum[:1, :, 0])
+        z1 = jnp.concatenate([z1_first, b_cum[:-1, :, 0]], axis=0)
+        y = b0 * y + z1
+    return y
+
+
 def _odd_ext(x_tc: jnp.ndarray, n: int) -> jnp.ndarray:
     """Odd extension at both ends along axis 0 (scipy.signal._arraytools)."""
     left = 2 * x_tc[0] - x_tc[n:0:-1]
@@ -161,25 +234,79 @@ def detrend_constant(x_tc: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # The collector chain
 # ---------------------------------------------------------------------------
+_COLLECTOR_STAGES = (
+    ("bandstop", 4, 39.5, 40.5),
+    ("bandpass", 2, 3.0, 48.0),
+    ("bandstop", 4, 49.5, 50.5),
+    ("bandstop", 4, 59.0, 61.0),
+)
+
+
 def collector_filter_chain(
-    x_tc: jnp.ndarray, fs: float = 125.0, padtype: Optional[str] = "odd"
+    x_tc: jnp.ndarray,
+    fs: float = 125.0,
+    padtype: Optional[str] = "odd",
+    method: str = "scan",
 ) -> jnp.ndarray:
     """The reference collection-time preprocessing for one [T, C] window
-    (reference: Neural_decoding_data_collector.py:111-127)."""
-    stages = (
-        ("bandstop", 4, 39.5, 40.5),
-        ("bandpass", 2, 3.0, 48.0),
-        ("bandstop", 4, 49.5, 50.5),
-        ("bandstop", 4, 59.0, 61.0),
-    )
+    (reference: Neural_decoding_data_collector.py:111-127).
+
+    method: "scan" (sequential, scipy-reference) or "parallel"
+    (associative-scan — the TPU production path; sequential per-sample
+    loops are loop-overhead-bound on TPU)."""
+    filt = sosfiltfilt if method == "scan" else sosfiltfilt_parallel
     y = detrend_constant(x_tc.astype(jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32))
-    for kind, order, lo, hi in stages:
-        y = sosfiltfilt(butter_sos(kind, order, lo, hi, float(fs)), y, padtype=padtype)
+    for kind, order, lo, hi in _COLLECTOR_STAGES:
+        y = filt(butter_sos(kind, order, lo, hi, float(fs)), y, padtype=padtype)
     return y
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "padtype"))
+@functools.lru_cache(maxsize=16)
+def _chain_operator(t: int, fs: float, padtype: Optional[str]) -> np.ndarray:
+    """The whole collector chain as one dense [T, T] operator.
+
+    Every step — constant detrend, odd extension, each zero-phase
+    Butterworth stage, truncation — is linear, so for a fixed window length
+    the chain is a single matrix, built in float64 by pushing the identity
+    through the scipy reference implementation. One MXU matmul then
+    replaces 8 sequential scans per window batch (the same collapse used
+    for the Hilbert transform in ops/hilbert.py)."""
+    import scipy.signal
+
+    m = np.eye(t) - np.full((t, t), 1.0 / t)  # constant detrend
+    for kind, order, lo, hi in _COLLECTOR_STAGES:
+        sos = np.asarray(butter_sos(kind, order, lo, hi, float(fs)))
+        if padtype is None:
+            fwd = scipy.signal.sosfilt(sos, m, axis=0)
+            m = scipy.signal.sosfilt(sos, fwd[::-1], axis=0)[::-1]
+        else:
+            m = scipy.signal.sosfiltfilt(sos, m, axis=0, padtype=padtype)
+    return np.ascontiguousarray(m)
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "padtype", "method"))
 def collector_filter_chain_batch(
-    x_btc: jnp.ndarray, fs: float = 125.0, padtype: Optional[str] = "odd"
+    x_btc: jnp.ndarray,
+    fs: float = 125.0,
+    padtype: Optional[str] = "odd",
+    method: str = "matmul",
 ) -> jnp.ndarray:
+    """Batched collector chain [B, T, C] -> [B, T, C].
+
+    method:
+      "matmul"   ONE [T, T] operator matmul (production default; sequential
+                 per-sample recurrences are loop-overhead-bound on TPU)
+      "parallel" associative-scan cascades (log-depth; arbitrary inputs)
+      "scan"     sequential biquads (scipy-reference semantics)
+    """
+    if method == "matmul":
+        op = jnp.asarray(_chain_operator(x_btc.shape[1], float(fs), padtype),
+                         x_btc.dtype)
+        return jnp.einsum("ts,bsc->btc", op, x_btc,
+                          precision=jax.lax.Precision.HIGHEST)
+    if method == "parallel":
+        b, t, c = x_btc.shape
+        x_tn = jnp.transpose(x_btc, (1, 0, 2)).reshape(t, b * c)
+        y = collector_filter_chain(x_tn, fs, padtype, method="parallel")
+        return jnp.transpose(y.reshape(t, b, c), (1, 0, 2))
     return jax.vmap(lambda w: collector_filter_chain(w, fs, padtype))(x_btc)

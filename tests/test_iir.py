@@ -101,3 +101,45 @@ def test_padlen_too_long_raises():
     sos = butter_sos("bandpass", 2, 3.0, 48.0, 125.0)
     with pytest.raises(ValueError, match="padlen"):
         sosfiltfilt(sos, np.zeros((10, 2)), padlen=10)
+
+
+def test_sosfilt_parallel_matches_scan(noise):
+    from neural_speech_decoding_tpu.ops.iir import sosfilt_parallel
+
+    sos = butter_sos("bandpass", 2, 3.0, 48.0, 125.0)
+    ref = scipy.signal.sosfilt(np.asarray(sos), noise, axis=0)
+    ours = np.asarray(sosfilt_parallel(sos, noise))
+    np.testing.assert_allclose(ours, ref, rtol=1e-7, atol=1e-8)
+
+
+def test_sosfiltfilt_parallel_matches_scipy(noise):
+    from neural_speech_decoding_tpu.ops.iir import sosfiltfilt_parallel
+
+    sos = butter_sos("bandstop", 4, 59.0, 61.0, 125.0)
+    ours = np.asarray(sosfiltfilt_parallel(sos, noise))
+    ref = scipy.signal.sosfiltfilt(np.asarray(sos), noise, axis=0)
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_collector_chain_parallel_matches_scan(noise):
+    batch = np.stack([noise, noise * 0.5]).astype(np.float32)
+    a = np.asarray(collector_filter_chain_batch(batch, method="scan"))
+    b = np.asarray(collector_filter_chain_batch(batch, method="parallel"))
+    scale = np.abs(a).max()
+    assert np.abs(a - b).max() / scale < 1e-4
+
+
+def test_collector_chain_matmul_matches_scan(noise):
+    batch = np.stack([noise, noise * 0.5]).astype(np.float32)
+    a = np.asarray(collector_filter_chain_batch(batch, method="scan"))
+    b = np.asarray(collector_filter_chain_batch(batch, method="matmul"))
+    scale = np.abs(a).max()
+    assert np.abs(a - b).max() / scale < 1e-4
+
+
+def test_collector_chain_matmul_padfree(noise):
+    batch = noise[None].astype(np.float32)
+    a = np.asarray(collector_filter_chain_batch(batch, padtype=None, method="scan"))
+    b = np.asarray(collector_filter_chain_batch(batch, padtype=None, method="matmul"))
+    scale = np.abs(a).max()
+    assert np.abs(a - b).max() / scale < 1e-4

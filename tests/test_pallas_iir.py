@@ -29,7 +29,7 @@ def batch():
 def test_fused_matches_scipy_composite(batch):
     stages = collector_stages()
     ours = np.asarray(
-        fused_preprocess(batch, stages, block_n=8, block_t=125, interpret=True)
+        fused_preprocess(batch, stages, block_n=1, block_t=125, interpret=True)
     )
     ref = scipy_combined_filtfilt(batch.astype(np.float64), stages)
     scale = np.abs(ref).max()
@@ -39,10 +39,10 @@ def test_fused_matches_scipy_composite(batch):
 def test_fused_chunked_matches_unchunked(batch):
     stages = collector_stages()
     a = np.asarray(
-        fused_preprocess(batch, stages, block_n=24, block_t=625, interpret=True)
+        fused_preprocess(batch, stages, block_n=1, block_t=625, interpret=True)
     )
     b = np.asarray(
-        fused_preprocess(batch, stages, block_n=24, block_t=125, interpret=True)
+        fused_preprocess(batch, stages, block_n=1, block_t=125, interpret=True)
     )
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
@@ -50,7 +50,7 @@ def test_fused_chunked_matches_unchunked(batch):
 def test_fused_zscore(batch):
     stages = collector_stages()[:1]
     out = np.asarray(
-        fused_preprocess(batch, stages, zscore=True, block_n=8,
+        fused_preprocess(batch, stages, zscore=True, block_n=1,
                          block_t=125, interpret=True)
     )
     np.testing.assert_allclose(out.mean(axis=1), 0.0, atol=1e-5)
@@ -64,7 +64,7 @@ def test_fused_suppresses_line_noise():
     mains = 3.0 * np.sin(2 * np.pi * 60 * t)
     x = np.stack([base + mains] * 8, axis=1)[None].astype(np.float32)
     y = np.asarray(
-        fused_preprocess(x, collector_stages(), block_n=8, block_t=125,
+        fused_preprocess(x, collector_stages(), block_n=1, block_t=125,
                          interpret=True)
     )[0, :, 0]
 
