@@ -91,7 +91,8 @@ def main() -> None:
     for name5, path5 in [("lstm5", "checkpoints/lstm5.npz"),
                          ("lstm5", "checkpoints/lstm5_best.npz"),
                          ("eegnet5", "checkpoints/eegnet5_best.npz"),
-                         ("transformer5", "checkpoints/transformer5_best.npz")]:
+                         ("transformer5", "checkpoints/transformer5_best.npz"),
+                         ("tcn5", "checkpoints/tcn5_best.npz")]:
         p5 = REPO_ROOT / path5
         if p5.is_file():
             results[f"{name5} (5-class, {p5.name})"] = evaluate(
