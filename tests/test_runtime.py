@@ -140,7 +140,11 @@ def test_producer_drop_oldest(dataset):
     prod.start()
     prod.recording_flag.value = True
     try:
-        time.sleep(2.0)  # let it overflow the 2-slot queue
+        # wait (load-tolerant) until the producer has overflowed the
+        # 2-slot queue at least once; drop-oldest keeps qsize at maxsize
+        deadline = time.time() + 30
+        while q.qsize() < 2 and time.time() < deadline:
+            time.sleep(0.05)
         assert q.qsize() == 2
     finally:
         prod.recording_flag.value = False
