@@ -33,7 +33,7 @@ CKPT = os.environ.get(
 
 TPU_BATCH = int(os.environ.get("NSD_BENCH_BATCH", 16384))
 TPU_ITERS = int(os.environ.get("NSD_BENCH_ITERS", 8))
-CPU_WINDOWS = int(os.environ.get("NSD_BENCH_CPU_WINDOWS", 6))
+CPU_WINDOWS = int(os.environ.get("NSD_BENCH_CPU_WINDOWS", 16))
 
 
 def _load_windows() -> np.ndarray:
@@ -80,7 +80,7 @@ def cpu_reference_windows_per_sec(windows: np.ndarray) -> float:
             logits = model(torch.from_numpy(x[None]))
             return torch.softmax(logits, dim=-1)[0].numpy()
 
-    for w in windows[:2]:  # warmup
+    for w in windows[:3]:  # warmup
         ref_predict(w)
     t0 = time.perf_counter()
     for w in windows[: CPU_WINDOWS]:
