@@ -119,3 +119,18 @@ def test_realtime_analysis_with_injection():
     for m in results:
         assert m["duration_sec"] == 1.0
         assert np.isfinite(m["impact_channel"]["peak_before"])
+
+
+def test_edf_reader_gated():
+    """pyedflib is absent in this image; the EDF intake must fail with an
+    actionable ImportError, not a crash."""
+    from neural_speech_decoding_tpu.analysis.io import read_edf_numeric
+
+    try:
+        import pyedflib  # noqa: F401
+
+        pytest.skip("pyedflib unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="pyedflib"):
+        read_edf_numeric("/tmp/whatever.edf")

@@ -64,7 +64,13 @@ def main() -> None:
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
-    ds = load_trials()
+    spec_probe = get_model(args.model)
+    if len(spec_probe.class_names) == 5:
+        from neural_speech_decoding_tpu.config import FIVE_CLASS_PREFIXES
+
+        ds = load_trials(class_prefixes=FIVE_CLASS_PREFIXES)
+    else:
+        ds = load_trials()
     fcfg = FilterConfig(precision="fast")
     filtered = np.asarray(mai_filter_batch(ds.windows, fcfg))
     spec = get_model(args.model)
@@ -124,10 +130,15 @@ def main() -> None:
             best = max(best, acc)
         ours.append(best)
 
-        ref_logits = np.asarray(
-            jax.jit(lambda p, w: lstm_spec.apply(p, w, train=False))(ref, x_val)
-        )
-        theirs.append(float((ref_logits.argmax(1) == y_val).mean()))
+        if len(spec.class_names) == 3:
+            ref_logits = np.asarray(
+                jax.jit(lambda p, w: lstm_spec.apply(p, w, train=False))(ref, x_val)
+            )
+            theirs.append(float((ref_logits.argmax(1) == y_val).mean()))
+        else:
+            # the reference has no 5-class decoder (it abandoned the task);
+            # chance = 20%
+            theirs.append(float("nan"))
         print(
             f"fold {fold_i}: ours(best) {ours[-1]:.3f} | reference {theirs[-1]:.3f}",
             flush=True,
@@ -138,8 +149,8 @@ def main() -> None:
         "folds": args.folds,
         "ours_mean": float(np.mean(ours)),
         "ours_std": float(np.std(ours)),
-        "reference_mean": float(np.mean(theirs)),
-        "reference_std": float(np.std(theirs)),
+        "reference_mean": float(np.nanmean(theirs)),
+        "reference_std": float(np.nanstd(theirs)),
         "ours": ours,
         "reference": theirs,
     }
