@@ -10,7 +10,12 @@ from typing import List
 
 import numpy as np
 
-from neural_speech_decoding_tpu.runtime.board import Board, open_board
+from neural_speech_decoding_tpu.runtime.board import (
+    Board,
+    open_board,
+    read_channel_window,
+    send_board_command,
+)
 
 
 class KnightBoard:
@@ -35,11 +40,8 @@ class KnightBoard:
         self.board.prepare_session()
         self.board.start_stream(self.buffer_size)
         for x in range(1, self.num_channels + 1):
-            try:
-                self.board.config_board(f"chon_{x}_12")
-                self.board.config_board(f"rldadd_{x}")
-            except Exception:
-                pass
+            send_board_command(self.board, f"chon_{x}_12")
+            send_board_command(self.board, f"rldadd_{x}")
         self._streaming = True
 
     def stop_stream(self) -> None:
@@ -49,9 +51,6 @@ class KnightBoard:
             self._streaming = False
 
     def get_window(self, seconds: float) -> np.ndarray:
-        assert self._streaming, "Stream not started"
-        n = max(1, int(seconds * self.sr))
-        data = self.board.get_current_board_data(n)
-        if data.shape[1] == 0:
-            return np.empty((len(self.eeg_channels), 0))
-        return data[self.eeg_channels, :]
+        if not self._streaming:
+            raise RuntimeError("get_window() before start_stream()")
+        return read_channel_window(self.board, self.eeg_channels, seconds, self.sr)

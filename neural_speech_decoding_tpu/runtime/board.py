@@ -301,6 +301,38 @@ class NativeBoard(Board):
         return self._native.get_current(n)
 
 
+def send_board_command(board, command: str) -> bool:
+    """Deliver one channel-config command over whichever config transport
+    the board offers, bytes-first (some firmwares reply with undecodable
+    bytes, which the string API chokes on). Returns True once a transport
+    accepts the command; False when every transport rejected it — callers
+    treat an unconfigurable board as best-effort, matching the reference's
+    tolerance for boards that ignore config writes.
+    """
+    transports = (
+        lambda: board.config_board_with_bytes(command.encode("ascii")),
+        lambda: board.config_board(command),
+    )
+    for send in transports:
+        try:
+            send()
+        except Exception:
+            continue
+        return True
+    return False
+
+
+def read_channel_window(board, channel_rows, seconds: float, sample_rate: int) -> np.ndarray:
+    """Most recent `seconds` of the given channel rows, as [C, T] oldest
+    first. T may be shorter than requested (down to zero) right after
+    stream start, before the ring buffer has filled — callers poll
+    `get_board_data_count` when they need a full window.
+    """
+    want = round(seconds * sample_rate)
+    raw = board.get_current_board_data(want if want >= 1 else 1)
+    return raw[list(channel_rows), :]
+
+
 def open_board(spec: str, num_channels: int = 8, speed: float = 1.0) -> Board:
     """Resolve a board spec string to a Board.
 

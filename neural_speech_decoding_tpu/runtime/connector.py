@@ -18,7 +18,12 @@ from typing import List
 
 import numpy as np
 
-from neural_speech_decoding_tpu.runtime.board import Board, open_board
+from neural_speech_decoding_tpu.runtime.board import (
+    Board,
+    open_board,
+    read_channel_window,
+    send_board_command,
+)
 
 
 class Connector:
@@ -46,26 +51,14 @@ class Connector:
         self.sr: int = self.board.get_sampling_rate(self.board_id)
         self._streaming = False
 
-    def _safe_config(self, cmd: str) -> None:
-        """Bytes-safe config write: prefer the bytes API, fall back to the
-        string API, swallow response-decode failures (reference:
-        neurokit_connector.py:25-37)."""
-        try:
-            self.board.config_board_with_bytes(cmd.encode("ascii", errors="strict"))
-        except Exception:
-            try:
-                self.board.config_board(cmd)
-            except Exception:
-                pass
-
     def start_stream(self) -> None:
         self.board.prepare_session()
         if self.stabilize:
             time.sleep(0.5)
         if self.configure_channels:
             for x in range(1, self.num_channels + 1):
-                self._safe_config(f"chon_{x}_12")
-                self._safe_config(f"rldadd_{x}")
+                send_board_command(self.board, f"chon_{x}_12")
+                send_board_command(self.board, f"rldadd_{x}")
                 if self.stabilize:
                     time.sleep(0.3)
         self.board.start_stream(self.buffer_size)
@@ -81,9 +74,6 @@ class Connector:
 
     def get_window(self, seconds: float) -> np.ndarray:
         """Latest `seconds` of EEG as [C, T] (oldest first)."""
-        assert self._streaming, "Stream not started"
-        n = max(1, int(seconds * self.sr))
-        data = self.board.get_current_board_data(n)
-        if data.shape[1] == 0:
-            return np.empty((len(self.eeg_channels), 0))
-        return data[self.eeg_channels, :]
+        if not self._streaming:
+            raise RuntimeError("get_window() before start_stream()")
+        return read_channel_window(self.board, self.eeg_channels, seconds, self.sr)
