@@ -33,7 +33,7 @@ CKPT = os.environ.get(
 
 TPU_BATCH = int(os.environ.get("NSD_BENCH_BATCH", 16384))
 TPU_ITERS = int(os.environ.get("NSD_BENCH_ITERS", 8))
-CPU_WINDOWS = int(os.environ.get("NSD_BENCH_CPU_WINDOWS", 16))
+CPU_WINDOWS = int(os.environ.get("NSD_BENCH_CPU_WINDOWS", 50))
 
 
 def _load_windows() -> np.ndarray:

@@ -69,6 +69,11 @@ class DecoderConfig:
     # windows are borderline cases where pure-f32 op reordering already
     # flips ~1%). Attention/head always run f32.
     recurrence_dtype: str = "float32"
+    # tanh/sigmoid implementation for the recurrence. "rational" evaluates
+    # ~1-ulp minimax rationals from correctly-rounded VPU mul/adds — the
+    # TPU builtin tanh is ~1350 ulp off, which compounds to ~2e-3 logit
+    # error over 625 steps (ops/gates.py). "builtin" keeps the backend's.
+    gate_math: str = "rational"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from neural_speech_decoding_tpu.config import DecoderConfig
+from neural_speech_decoding_tpu.ops import gates as gates_ops
 
 Params = Dict[str, Any]
 
@@ -86,12 +87,17 @@ def _lstm_layer(
     x_btc: jnp.ndarray,
     precision,
     recurrence_dtype=jnp.float32,
+    gate_math: str = "rational",
 ) -> jnp.ndarray:
     """One LSTM layer over the full sequence. [B, T, in] -> [B, T, H].
 
     `recurrence_dtype` controls the dtype of the recurrent matmul + gate
     math (bfloat16 = TPU turbo mode; input projection and outputs stay
-    f32-accumulated)."""
+    f32-accumulated). `gate_math` picks the tanh/sigmoid implementation:
+    "rational" (default) uses ops/gates.py's ~1-ulp f32 rational
+    approximations — on TPU the builtin tanh is ~1350 ulp off and compounds
+    to ~2e-3 logit error over the 625-step recurrence; "builtin" keeps the
+    backend transcendentals."""
     b, t, _ = x_btc.shape
     h_dim = layer["w_hh"].shape[0]
 
@@ -104,21 +110,50 @@ def _lstm_layer(
 
     w_hh = layer["w_hh"].astype(recurrence_dtype)
 
-    def step(carry: Tuple[jnp.ndarray, jnp.ndarray], xp_t: jnp.ndarray):
-        h, c = carry
-        gates = xp_t + jnp.matmul(h, w_hh, precision=precision)
-        # activations over the whole [B, 4H] block, then slice (torch gate
-        # order i,f,g,o): one full-tile VPU pass each beats four padded
-        # quarter-width passes (~6% whole-model, measured); identical math
-        sig = jax.nn.sigmoid(gates)
-        tg = jnp.tanh(gates)
-        i = sig[:, 0 * h_dim : 1 * h_dim]
-        f = sig[:, 1 * h_dim : 2 * h_dim]
-        g = tg[:, 2 * h_dim : 3 * h_dim]
-        o = sig[:, 3 * h_dim : 4 * h_dim]
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
-        return (h, c), h
+    if gate_math == "rational":
+        # One rational-tanh pass covers all four gates: sigmoid(x) =
+        # 0.5 + 0.5 * tanh(x / 2), so halving the i, f, o gate columns turns
+        # the whole [B, 4H] block into a single tanh, with a cheap affine
+        # fixup on the sigmoid slices. The halving is folded into the
+        # recurrent weights and the hoisted input projection — zero extra
+        # ops inside the scan. 1.25 rational evals per step (block +
+        # tanh(c)) instead of 2.25, at ~100x the on-TPU builtin gate
+        # accuracy (ops/gates.py). Halving by 0.5 is exact in binary, so
+        # this changes no results vs the two-eval formulation.
+        half_sig = jnp.ones((4 * h_dim,), recurrence_dtype).at[: 2 * h_dim].set(0.5)
+        half_sig = half_sig.at[3 * h_dim :].set(0.5)
+        w_hh = w_hh * half_sig[None, :]
+        xp_tbh = xp_tbh * half_sig
+
+        def step(carry: Tuple[jnp.ndarray, jnp.ndarray], xp_t: jnp.ndarray):
+            h, c = carry
+            y = gates_ops.tanh(xp_t + jnp.matmul(h, w_hh, precision=precision))
+            sig = 0.5 + 0.5 * y
+            i = sig[:, 0 * h_dim : 1 * h_dim]
+            f = sig[:, 1 * h_dim : 2 * h_dim]
+            g = y[:, 2 * h_dim : 3 * h_dim]
+            o = sig[:, 3 * h_dim : 4 * h_dim]
+            c = f * c + i * g
+            h = o * gates_ops.tanh(c)
+            return (h, c), h
+
+    else:
+
+        def step(carry: Tuple[jnp.ndarray, jnp.ndarray], xp_t: jnp.ndarray):
+            h, c = carry
+            gates = xp_t + jnp.matmul(h, w_hh, precision=precision)
+            # activations over the whole [B, 4H] block, then slice (torch
+            # gate order i,f,g,o): one full-tile VPU pass each beats four
+            # padded quarter-width passes (~6% whole-model, measured)
+            sig = jax.nn.sigmoid(gates)
+            tg = jnp.tanh(gates)
+            i = sig[:, 0 * h_dim : 1 * h_dim]
+            f = sig[:, 1 * h_dim : 2 * h_dim]
+            g = tg[:, 2 * h_dim : 3 * h_dim]
+            o = sig[:, 3 * h_dim : 4 * h_dim]
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            return (h, c), h
 
     # derive the zero state from the data (not a fresh constant) so it
     # carries the same shard-varying axes under shard_map
@@ -168,7 +203,7 @@ def decoder_apply(
     rec_dtype = jnp.dtype(config.recurrence_dtype)
     out = x
     for l, layer in enumerate(params["lstm"]):
-        out = _lstm_layer(layer, out, precision, rec_dtype)
+        out = _lstm_layer(layer, out, precision, rec_dtype, config.gate_math)
         if train and config.dropout > 0 and l < n_layers - 1:
             # torch applies inter-layer dropout to every layer output except
             # the last one (nn.LSTM dropout semantics).

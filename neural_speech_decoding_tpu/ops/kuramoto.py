@@ -8,7 +8,9 @@ through Utilities/preprocessor.py:21-36):
      symmetric, diagonal exactly zero
   3. "diag" renorm: d = sqrt(clip(diag(P), 1e-12)); P /= outer(d, d)
      (since diag(P) == 0, this multiplies every entry by 1e12 — a reference
-     quirk we reproduce exactly, see SURVEY.md §7 "fidelity traps")
+     quirk, see SURVEY.md §7 "fidelity traps"; because it is exactly a
+     global scale, it is folded analytically into lambda below so P^T P
+     never leaves f32-friendly magnitudes)
   4. closed-form ridge:  out = (I + lambda * P^T P)^{-1} @ y    (y = [C, T])
 
 The reference computes step 2 with an O(C^2 T) Python pair loop in float64.
@@ -103,11 +105,6 @@ def kuramoto_operator_from_analytic(
     )
 
 
-def _renorm_diag(p: jnp.ndarray, eps: float) -> jnp.ndarray:
-    d = jnp.sqrt(jnp.clip(jnp.diag(p), eps, None))
-    return p / jnp.outer(d, d)
-
-
 def _solve_gauss_jordan(a: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Solve A X = Y for tiny well-conditioned systems with unrolled
     Gauss-Jordan elimination (no pivoting).
@@ -145,28 +142,42 @@ def mai_filter(
     if lambd is None:
         lambd = config.lambd
     dtype = _wide_dtype(config.precision)
-    mm = (
-        jax.lax.Precision.HIGHEST
-        if config.precision == "highest"
-        else jax.lax.Precision.DEFAULT
-    )
+    # HIGHEST matmul precision in every mode: the FLOPs are dominated by
+    # the [T, T] Hilbert operator (already HIGHEST); the remaining matmuls
+    # (gram [C, 2T]x[2T, C], 8x8 solve, inverse apply) are tiny, but at
+    # DEFAULT (bf16 on TPU) the gram alone cost 3e-1 absolute filter error.
+    # Measured: no throughput difference on the chip.
+    mm = jax.lax.Precision.HIGHEST
 
     x = x_tc.astype(dtype)
     # The operator comes straight from the analytic signal's (re, im) —
     # no angle/cos/sin transcendentals (kuramoto_operator_from_parts).
-    if config.precision == "fast":
-        # MXU path: the Hilbert transform of a fixed T is one dense matmul
-        # — far faster on TPU than a batched odd-length (625 = 5^4) FFT.
-        re, im = analytic_signal_matmul(x)
-    else:
-        # FFT path (scipy-parity, exact in f64). FFT straight over the time
-        # axis — no transposes around it; the transposed formulation trips
-        # XLA:CPU's fft thunk layout check under SPMD partitioning.
+    if dtype == jnp.float64:
+        # FFT path (scipy-parity, exact in f64; CPU-only — TPU has no c128
+        # FFT). FFT straight over the time axis — no transposes around it;
+        # the transposed formulation trips XLA:CPU's fft thunk layout check
+        # under SPMD partitioning.
         z = analytic_signal(x, axis=0)
         re, im = z.real, z.imag
+    else:
+        # MXU path: the Hilbert transform of a fixed T is one dense matmul
+        # — far faster on TPU than a batched odd-length (625 = 5^4) FFT,
+        # and with HIGHEST precision also the most accurate f32 option
+        # (the on-device fidelity path). HIGHEST even in fast mode: the
+        # [T, T] operator feeds everything downstream and costs the same
+        # fused into the batch matmul.
+        re, im = analytic_signal_matmul(x, precision=jax.lax.Precision.HIGHEST)
     p = kuramoto_operator_from_parts(re, im, matmul_precision=mm)
     if config.renorm == "diag":
-        p = _renorm_diag(p, config.eps)
+        # Reference renorm: P /= outer(d, d), d = sqrt(clip(diag(P), eps)).
+        # The operator's diagonal is identically zero (the pair loop never
+        # writes it), so the clip always lands on eps and the whole renorm
+        # is exactly a global multiply by 1/eps (reference: MindsAI
+        # mindsai_filter_python/core.py:27-31 with diag(P) == 0). Folding
+        # that scale into lambda — lambda_eff = lambda / eps^2 — keeps
+        # P^T P at O(T^2) instead of ~1e24, which is what lets the f32
+        # on-device path hold the <=1e-4 logit-fidelity target.
+        lambd = lambd / (config.eps * config.eps)
 
     c = x.shape[-1]
     eye = jnp.eye(c, dtype=dtype)

@@ -2,9 +2,14 @@
 
 Prints, for every precision operating point, the max logit/probability
 delta against the golden torch dump and the argmax agreement over all
-shipped trials. Run on CPU for the f64 row (TPU cannot do c128 FFT):
+shipped trials. With --stages it also bisects the pipeline: filter-stage
+deltas vs the committed f64-reference filtered windows, and model-stage
+deltas (golden filtered windows -> this backend's decoder) — so an
+end-to-end miss can be attributed to the filter or the recurrence.
 
-  python tools/fidelity_report.py [--platform cpu|axon]
+  python tools/fidelity_report.py [--platform cpu|axon] [--stages]
+  python tools/fidelity_report.py --platform cpu --write-filtered
+      # regenerate tests/golden/reference_filtered.npz (scipy+numpy f64)
 """
 
 from __future__ import annotations
@@ -19,10 +24,41 @@ sys.path.insert(0, str(REPO_ROOT))
 
 import jax
 
+GOLDEN_PROBS = REPO_ROOT / "tests/golden/reference_probs.npz"
+GOLDEN_FILTERED = REPO_ROOT / "tests/golden/reference_filtered.npz"
+PRODUCTION_LAMBDA = 1.25e-29  # reference: tester.py:84
+
+
+def write_filtered(ds) -> None:
+    """f64 scipy/numpy rendering of the reference filter on every trial,
+    independent of the JAX implementation (reference semantics:
+    MindsAI/mindsai_filter_python/core.py:14-38)."""
+    import numpy as np
+    import scipy.signal
+
+    out = np.empty_like(ds.windows, dtype=np.float32)
+    for i, w in enumerate(ds.windows):
+        y = w.astype(np.float64).T  # [C, T]
+        phases = np.angle(scipy.signal.hilbert(y.T, axis=0))  # [T, C]
+        diff = phases[:, :, None] - phases[:, None, :]
+        p = np.sum(np.sin(diff) ** 2, axis=0)
+        np.fill_diagonal(p, 0.0)
+        d = np.sqrt(np.clip(np.diag(p), 1e-12, None))
+        p = p / np.outer(d, d)
+        c = p.shape[0]
+        inv = np.linalg.inv(np.eye(c) + PRODUCTION_LAMBDA * (p.T @ p))
+        out[i] = (inv @ y).T.astype(np.float32)
+    np.savez_compressed(
+        GOLDEN_FILTERED, files=np.asarray(ds.files), filtered=out
+    )
+    print(f"wrote {GOLDEN_FILTERED} ({out.nbytes/1e6:.1f} MB raw)")
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--stages", action="store_true", help="per-stage bisect")
+    ap.add_argument("--write-filtered", action="store_true")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -37,11 +73,13 @@ def main() -> None:
     from neural_speech_decoding_tpu.models.lstm import decoder_apply
     from neural_speech_decoding_tpu.ops.kuramoto import mai_filter
 
-    golden_path = REPO_ROOT / "tests/golden/reference_probs.npz"
-    with np.load(golden_path, allow_pickle=False) as z:
-        golden = {k: z[k] for k in z.files}
-
     ds = load_trials()
+    if args.write_filtered:
+        write_filtered(ds)
+        return
+
+    with np.load(GOLDEN_PROBS, allow_pickle=False) as z:
+        golden = {k: z[k] for k in z.files}
     assert list(golden["files"]) == list(ds.files)
     params = jax.device_put(
         load_decoder_params(
@@ -53,29 +91,54 @@ def main() -> None:
     ref_argmax = ref_logits.argmax(1)
 
     x64 = jax.config.read("jax_enable_x64")
-    modes = [("fast f32", FilterConfig(precision="fast"), DecoderConfig())]
+    modes = []
     if x64:
-        modes.insert(0, ("fidelity f64", FilterConfig(precision="highest"), DecoderConfig()))
+        modes.append(("fidelity f64", FilterConfig(precision="highest"), DecoderConfig()))
+    else:
+        # On TPU "highest" is the f32 fidelity path: HIGHEST-precision
+        # matmul Hilbert + folded-lambda operator (no 1e24-scale P^T P).
+        modes.append(("fidelity f32", FilterConfig(precision="highest"), DecoderConfig()))
+    modes.append(("fast f32", FilterConfig(precision="fast"), DecoderConfig()))
     modes.append((
         "turbo bf16",
         FilterConfig(precision="fast"),
         dataclasses.replace(DecoderConfig(), recurrence_dtype="bfloat16"),
     ))
 
+    filtered_golden = None
+    if args.stages:
+        if not GOLDEN_FILTERED.is_file():
+            print("no reference_filtered.npz — run --write-filtered on CPU first")
+        else:
+            with np.load(GOLDEN_FILTERED, allow_pickle=False) as z:
+                assert list(z["files"]) == list(ds.files)
+                filtered_golden = z["filtered"]
+
     print(f"platform: {jax.devices()[0].platform} | trials: {len(ds)}")
-    print(f"{'mode':14s} {'max|dlogit|':>12s} {'max|dprob|':>11s} {'argmax agree':>13s}")
+    header = f"{'mode':14s} {'max|dlogit|':>12s} {'max|dprob|':>11s} {'argmax agree':>13s}"
+    if filtered_golden is not None:
+        header += f" {'filt max|d|':>12s} {'model-only |dlogit|':>20s}"
+    print(header)
     for name, fcfg, dcfg in modes:
-        fn = jax.jit(
-            lambda p, w, fcfg=fcfg, dcfg=dcfg: decoder_apply(
-                p, jax.vmap(lambda a: mai_filter(a, fcfg))(w), dcfg
-            )
+        filt = jax.jit(
+            lambda w, fcfg=fcfg: jax.vmap(lambda a: mai_filter(a, fcfg))(w)
         )
-        logits = np.asarray(fn(params, ds.windows))
+        model = jax.jit(
+            lambda p, f, dcfg=dcfg: decoder_apply(p, f, dcfg)
+        )
+        filtered = filt(ds.windows)
+        logits = np.asarray(model(params, filtered))
         probs = np.asarray(jax.nn.softmax(logits, -1))
         dl = np.abs(logits - ref_logits).max()
         dp = np.abs(probs - golden["probs"]).max()
         agree = float((logits.argmax(1) == ref_argmax).mean())
-        print(f"{name:14s} {dl:12.2e} {dp:11.2e} {agree:13.4f}")
+        line = f"{name:14s} {dl:12.2e} {dp:11.2e} {agree:13.4f}"
+        if filtered_golden is not None:
+            dfilt = np.abs(np.asarray(filtered, np.float32) - filtered_golden).max()
+            model_logits = np.asarray(model(params, filtered_golden))
+            dmodel = np.abs(model_logits - ref_logits).max()
+            line += f" {dfilt:12.2e} {dmodel:20.2e}"
+        print(line)
 
 
 if __name__ == "__main__":
