@@ -5,11 +5,17 @@ model per fold and reports mean ± std held-out accuracy, plus the reference
 checkpoint evaluated on the same folds (remember: it trained on all of
 them, so its number is an upper bound of its true held-out accuracy).
 
-Protocol note: per fold we report the best epoch's fold accuracy (epoch
-selection on the fold), mirroring keep_best deployment; a fully nested
-protocol would hold out a second split for epoch selection — on 143
-training trials that is noisier than the bias it removes. The reference's
-~70% claim has no published protocol at all.
+Protocols (--protocol, default "nested"):
+  nested  epoch selection on an inner split carved out of the fold's
+          TRAINING set (keep-best on inner val, report that epoch's params
+          on the untouched outer fold) — unbiased, the headline number.
+  last    fixed-budget protocol: the final epoch's params on the outer
+          fold — unbiased, no selection at all.
+  biased  round-1's protocol: max over epochs of the outer-fold accuracy
+          itself. Epoch selection on the eval fold inflates the mean by
+          several points on ~36-trial folds; kept only for comparison.
+All three are computed in one run (training is the expensive part); the
+--protocol flag picks which one is the headline "ours" column.
 
   python tools/crossval.py --model lstm --folds 5 --epochs 120
 """
@@ -61,6 +67,9 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--schedule", default="constant", choices=("constant", "cosine"))
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--protocol", default="nested", choices=("nested", "last", "biased")
+    )
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -78,21 +87,28 @@ def main() -> None:
     lstm_spec = get_model("lstm")
 
     folds = stratified_folds(ds.labels, args.folds, args.seed)
-    ours, theirs = [], []
+    ours = {"nested": [], "last": [], "biased": []}
+    theirs = []
     for fold_i, val_idx in enumerate(folds):
         train_idx = np.setdiff1d(np.arange(len(ds)), val_idx)
-        # the loop's own split would re-split; train manually instead
-        x_train, y_train = filtered[train_idx], ds.labels[train_idx]
         x_val, y_val = filtered[val_idx], ds.labels[val_idx]
 
-        import optax
+        # Inner split (for nested epoch selection) comes out of the fold's
+        # TRAINING set only — ~1/6 of it — before augmentation, so neither
+        # the outer fold nor augmented copies of inner-val trials ever
+        # influence which epoch is kept.
+        inner_val_rel = stratified_folds(ds.labels[train_idx], 6, args.seed + 100 + fold_i)[0]
+        inner_val_idx = train_idx[inner_val_rel]
+        inner_train_idx = np.setdiff1d(train_idx, inner_val_idx)
+        x_train, y_train = filtered[inner_train_idx], ds.labels[inner_train_idx]
+        x_ival, y_ival = filtered[inner_val_idx], ds.labels[inner_val_idx]
 
+        from neural_speech_decoding_tpu.train.augment import augment_batch_np
         from neural_speech_decoding_tpu.train.loop import (
             _optimizer,
             make_eval_fn,
             make_train_step,
         )
-        from neural_speech_decoding_tpu.train.augment import augment_batch_np
 
         if args.augment > 0:
             xa, ya = augment_batch_np(x_train, y_train, prob=args.augment,
@@ -114,9 +130,14 @@ def main() -> None:
                           donate_argnums=(0, 1))
         eval_fn = jax.jit(make_eval_fn(spec))
 
+        def acc_on(p, x, y):
+            w = np.ones(len(x), np.float32)
+            return float(eval_fn(p, x, y.astype(np.int32), w)["accuracy"])
+
         np_rng = np.random.default_rng(cfg.seed)
-        best = -1.0
-        w_val = np.ones(len(x_val), np.float32)
+        best_outer = -1.0  # the biased protocol, for comparison only
+        best_inner = -1.0
+        nested_params = None
         for epoch in range(cfg.epochs):
             perm = np_rng.permutation(len(x_train))
             for i in range(0, len(x_train) - 32 + 1, 32):
@@ -126,9 +147,15 @@ def main() -> None:
                     params, opt_state, x_train[idx],
                     y_train[idx].astype(np.int32), k,
                 )
-            acc = float(eval_fn(params, x_val, y_val.astype(np.int32), w_val)["accuracy"])
-            best = max(best, acc)
-        ours.append(best)
+            inner = acc_on(params, x_ival, y_ival)
+            if inner > best_inner:
+                best_inner = inner
+                # step_fn donates params; snapshot to host before the next step
+                nested_params = jax.tree_util.tree_map(np.asarray, params)
+            best_outer = max(best_outer, acc_on(params, x_val, y_val))
+        ours["nested"].append(acc_on(nested_params, x_val, y_val))
+        ours["last"].append(acc_on(params, x_val, y_val))
+        ours["biased"].append(best_outer)
 
         if len(spec.class_names) == 3:
             ref_logits = np.asarray(
@@ -140,24 +167,34 @@ def main() -> None:
             # chance = 20%
             theirs.append(float("nan"))
         print(
-            f"fold {fold_i}: ours(best) {ours[-1]:.3f} | reference {theirs[-1]:.3f}",
+            f"fold {fold_i}: nested {ours['nested'][-1]:.3f} | "
+            f"last {ours['last'][-1]:.3f} | biased {ours['biased'][-1]:.3f} | "
+            f"reference {theirs[-1]:.3f}",
             flush=True,
         )
 
     summary = {
         "model": args.model,
         "folds": args.folds,
-        "ours_mean": float(np.mean(ours)),
-        "ours_std": float(np.std(ours)),
+        "protocol": args.protocol,
+        "ours_mean": float(np.mean(ours[args.protocol])),
+        "ours_std": float(np.std(ours[args.protocol])),
         "reference_mean": float(np.nanmean(theirs)),
         "reference_std": float(np.nanstd(theirs)),
-        "ours": ours,
+        "by_protocol": {
+            name: {"mean": float(np.mean(v)), "std": float(np.std(v)), "folds": v}
+            for name, v in ours.items()
+        },
         "reference": theirs,
     }
+    print(f"\n{args.model} {args.folds}-fold:")
+    for name in ("nested", "last", "biased"):
+        s = summary["by_protocol"][name]
+        tag = " (headline)" if name == args.protocol else ""
+        print(f"  {name:7s} {s['mean']:.3f} ± {s['std']:.3f}{tag}")
     print(
-        f"\n{args.model} {args.folds}-fold: ours {summary['ours_mean']:.3f} "
-        f"± {summary['ours_std']:.3f} | reference checkpoint "
-        f"{summary['reference_mean']:.3f} ± {summary['reference_std']:.3f}"
+        f"  reference checkpoint {summary['reference_mean']:.3f} "
+        f"± {summary['reference_std']:.3f}"
     )
     if args.json:
         Path(args.json).write_text(json.dumps(summary, indent=2))
