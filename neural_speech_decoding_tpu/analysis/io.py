@@ -85,21 +85,105 @@ def detect_unit_scale(arr: np.ndarray) -> Tuple[float, str]:
     return 1.0, "microvolts"
 
 
+class EdfHeader:
+    """Parsed EDF/EDF+ header (the fixed-layout ASCII block)."""
+
+    def __init__(self, raw: bytes):
+        if len(raw) < 256:
+            raise ValueError("EDF header truncated (< 256 bytes)")
+
+        def field(off: int, n: int) -> str:
+            return raw[off : off + n].decode("ascii", errors="replace").strip()
+
+        self.version = field(0, 8)
+        self.patient = field(8, 80)
+        self.recording = field(88, 80)
+        self.start_date = field(168, 8)
+        self.start_time = field(176, 8)
+        self.header_bytes = int(field(184, 8))
+        self.reserved = field(192, 44)
+        self.n_records = int(field(236, 8))
+        self.record_seconds = float(field(244, 8))
+        self.n_signals = int(field(252, 4))
+        if self.n_signals <= 0:
+            raise ValueError("EDF declares no signals")
+
+        per = raw[256 : 256 + 256 * self.n_signals]
+        if len(per) < 256 * self.n_signals:
+            raise ValueError("EDF per-signal header truncated")
+        ns = self.n_signals
+
+        def col(off: int, width: int):
+            base = off * ns
+            return [
+                per[base + i * width : base + (i + 1) * width]
+                .decode("ascii", errors="replace")
+                .strip()
+                for i in range(ns)
+            ]
+
+        # field byte offsets within the per-signal block, in field order:
+        # label 16, transducer 80, phys dim 8, phys min 8, phys max 8,
+        # dig min 8, dig max 8, prefiltering 80, samples/record 8
+        self.labels = col(0, 16)
+        self.phys_dim = col(16 + 80, 8)
+        self.phys_min = [float(v) for v in col(16 + 80 + 8, 8)]
+        self.phys_max = [float(v) for v in col(16 + 80 + 16, 8)]
+        self.dig_min = [float(v) for v in col(16 + 80 + 24, 8)]
+        self.dig_max = [float(v) for v in col(16 + 80 + 32, 8)]
+        self.samples_per_record = [
+            int(v) for v in col(16 + 80 + 40 + 80, 8)
+        ]
+
+    def is_annotation(self, i: int) -> bool:
+        return self.labels[i].upper().startswith("EDF ANNOTATIONS")
+
+
 def read_edf_numeric(path) -> Tuple[np.ndarray, Optional[float]]:
-    """Read an EDF file into ([C, T], fs). Requires pyedflib."""
-    try:
-        import pyedflib  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "EDF intake requires pyedflib, which is not installed in this "
-            "environment; convert to CSV or install pyedflib"
-        ) from e
-    f = pyedflib.EdfReader(str(path))  # pragma: no cover - gated on dep
-    try:
-        n = f.signals_in_file
-        sigs = [f.readSignal(i) for i in range(n)]
-        fs = float(f.getSampleFrequency(0)) if n else None
-        t = min(len(s) for s in sigs)
-        return np.stack([s[:t] for s in sigs]), fs
-    finally:
-        f.close()
+    """Read an EDF/EDF+ file into ([C, T] float64 physical values, fs).
+
+    Stdlib implementation of the fixed-layout EDF format (the reference
+    gates this on pyEDFlib: Minds_AI_Filter_Offline_Signal_Analysis.py:
+    197-226); annotation channels are skipped, a uniform sampling rate is
+    required across the data channels (same constraint as the reference),
+    and a truncated final record is dropped rather than failing.
+    """
+    raw = Path(path).read_bytes()
+    hdr = EdfHeader(raw)
+    ns = hdr.n_signals
+    rec_samples = hdr.samples_per_record
+    rec_words = sum(rec_samples)
+
+    data_idx = [i for i in range(ns) if not hdr.is_annotation(i)]
+    if not data_idx:
+        raise ValueError("EDF contains only annotation channels")
+    rates = {rec_samples[i] / hdr.record_seconds for i in data_idx}
+    if len(rates) > 1:
+        raise ValueError(
+            f"EDF has mixed sampling rates across channels ({sorted(rates)}); "
+            "uniform-fs channels required"
+        )
+    fs = rates.pop()
+
+    body = raw[hdr.header_bytes :]
+    n_complete = len(body) // (rec_words * 2)
+    n_records = (
+        min(hdr.n_records, n_complete) if hdr.n_records >= 0 else n_complete
+    )
+    if n_records <= 0:
+        raise ValueError("EDF appears empty or zero-length")
+
+    words = np.frombuffer(
+        body[: n_records * rec_words * 2], dtype="<i2"
+    ).reshape(n_records, rec_words)
+    # slice each signal's samples out of the interleaved record layout
+    offsets = np.cumsum([0] + rec_samples)
+    channels = []
+    for i in data_idx:
+        dig = words[:, offsets[i] : offsets[i + 1]].reshape(-1).astype(np.float64)
+        dmin, dmax = hdr.dig_min[i], hdr.dig_max[i]
+        pmin, pmax = hdr.phys_min[i], hdr.phys_max[i]
+        gain = (pmax - pmin) / (dmax - dmin) if dmax != dmin else 1.0
+        channels.append(dig * gain + (pmin - gain * dmin))
+    t = min(len(c) for c in channels)
+    return np.stack([c[:t] for c in channels]), float(fs)

@@ -17,9 +17,12 @@ from typing import Dict, Optional
 
 import numpy as np
 
-ARTIFACT_SUPPRESSION_THRESH_PCT = 30.0
-DRIFT_THRESH_UV = 2.0
-VARIANCE_SMOOTHING_THRESH_PCT = 30.0
+# Tag thresholds, identical to the reference's (reference:
+# Minds_AI_Filter_Offline_Signal_Analysis.py:49-51 and the shipped metrics
+# JSON's "thresholds" block).
+ARTIFACT_SUPPRESSION_THRESH_PCT = 20.0
+DRIFT_THRESH_UV = 5.0
+VARIANCE_SMOOTHING_THRESH_PCT = 5.0
 
 SNR_METHODS = ("power_ratio", "variance_ratio", "amplitude_ratio")
 

@@ -18,6 +18,7 @@ import numpy as np
 from neural_speech_decoding_tpu.analysis.io import (
     detect_orientation,
     detect_unit_scale,
+    read_edf_numeric,
     read_numeric_csv,
 )
 from neural_speech_decoding_tpu.analysis.metrics import (
@@ -37,9 +38,19 @@ def analyze_file(
     snr_method: str = "power_ratio",
     out_dir=None,
 ):
-    """Run the offline analysis over one CSV. Returns (metrics, filtered [C,T])."""
-    arr = read_numeric_csv(path)
-    data_ct = detect_orientation(arr)
+    """Run the offline analysis over one CSV or EDF file.
+
+    Returns (metrics, filtered [C, T]). For EDF input the header sampling
+    rate overrides the `fs` argument (reference: the Tk tool prefills fs
+    from the EDF header, Minds_AI_Filter_Offline_Signal_Analysis.py:786-793).
+    """
+    if str(path).lower().endswith(".edf"):
+        data_ct, edf_fs = read_edf_numeric(path)
+        if edf_fs:
+            fs = edf_fs
+    else:
+        arr = read_numeric_csv(path)
+        data_ct = detect_orientation(arr)
     scale, unit = detect_unit_scale(data_ct)
     data_uv = data_ct * scale
     # mean detrend per channel (reference behavior)
@@ -48,9 +59,8 @@ def analyze_file(
     import jax
 
     cfg = FilterConfig(lambd=lambd)
-    filtered_tc = np.asarray(
-        jax.jit(lambda x: mai_filter(x, cfg))(raw.T.astype(np.float32))
-    )
+    # f64 when x64 is on (the fidelity path); jax downcasts to f32 otherwise
+    filtered_tc = np.asarray(jax.jit(lambda x: mai_filter(x, cfg))(raw.T))
     filtered = filtered_tc.T.astype(np.float64)
 
     metrics = compute_filter_metrics(

@@ -92,8 +92,13 @@ def kuramoto_operator_from_parts(
     if eps is None:
         eps = jnp.finfo(re.dtype).tiny
     inv = 1.0 / jnp.maximum(p2, eps)
-    c2 = (re * re - im * im) * inv
-    s2 = (2.0 * re * im) * inv
+    # Degenerate samples (z == 0, e.g. an all-zero recording channel):
+    # np.angle(0) == 0, so the reference sees phase 0 there -> cos 2phi = 1,
+    # sin 2phi = 0. Below-tiny |z|^2 would also make the quotients blow up
+    # on denormals, so the same guard covers both.
+    degenerate = p2 < eps
+    c2 = jnp.where(degenerate, 1.0, (re * re - im * im) * inv)
+    s2 = jnp.where(degenerate, 0.0, (2.0 * re * im) * inv)
     return _operator_from_cs(c2, s2, re.shape[0], matmul_precision)
 
 

@@ -1,6 +1,7 @@
 """Analysis tooling tests: metrics parity, robust IO, offline/realtime runs."""
 
 import json
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -121,16 +122,68 @@ def test_realtime_analysis_with_injection():
         assert np.isfinite(m["impact_channel"]["peak_before"])
 
 
-def test_edf_reader_gated():
-    """pyedflib is absent in this image; the EDF intake must fail with an
-    actionable ImportError, not a crash."""
+REFERENCE_EDF = Path(
+    "/root/reference/Neuro-Alpha-App/Utilities/MindsAI/examples/data/eeg.edf"
+)
+REFERENCE_EDF_METRICS = Path(
+    "/root/reference/Neuro-Alpha-App/Utilities/MindsAI/examples/data/"
+    "data_mai_metrics_1e-34_20251017T030538.json"
+)
+
+
+def _need_reference_edf():
+    if not REFERENCE_EDF.is_file():
+        pytest.skip("reference eeg.edf not mounted")
+
+
+def test_edf_reader_parses_reference_file():
+    """Stdlib EDF reader on the reference's shipped recording: header
+    geometry must match the shipped metrics JSON (26 ch, 500 Hz, 120 s)."""
+    _need_reference_edf()
     from neural_speech_decoding_tpu.analysis.io import read_edf_numeric
 
-    try:
-        import pyedflib  # noqa: F401
+    sig, fs = read_edf_numeric(REFERENCE_EDF)
+    assert sig.shape == (26, 60000)
+    assert fs == 500.0
+    assert sig.dtype == np.float64
 
-        pytest.skip("pyedflib unexpectedly present")
-    except ImportError:
-        pass
-    with pytest.raises(ImportError, match="pyedflib"):
-        read_edf_numeric("/tmp/whatever.edf")
+
+def test_edf_reader_rejects_junk(tmp_path):
+    from neural_speech_decoding_tpu.analysis.io import read_edf_numeric
+
+    bad = tmp_path / "junk.edf"
+    bad.write_bytes(b"not an edf at all")
+    with pytest.raises(ValueError):
+        read_edf_numeric(bad)
+
+
+def test_edf_workflow_reproduces_reference_metrics_json():
+    """End-to-end golden test of the reference's own EDF analysis output:
+    EDF intake -> unit detect -> mean detrend -> Kuramoto filter
+    (lambda=1e-34) -> metrics must reproduce the metrics JSON the reference
+    ships next to eeg.edf (produced by its Tk offline tool on channel 4)."""
+    _need_reference_edf()
+    import json
+
+    from neural_speech_decoding_tpu.analysis.offline import analyze_file
+
+    ref = json.loads(REFERENCE_EDF_METRICS.read_text())
+    metrics, filtered = analyze_file(
+        REFERENCE_EDF, lambd=1e-34, channel=4, snr_method="power_ratio"
+    )
+    assert metrics["fs_hz"] == ref["fs_hz"]
+    assert metrics["channels"] == ref["channels"]
+    assert metrics["duration_sec"] == ref["duration_sec"]
+    assert metrics["snr_db_channel"] == pytest.approx(
+        ref["snr_db_channel"], abs=1e-6
+    )
+    ours_i, ref_i = metrics["impact_channel"], ref["impact_channel"]
+    assert ours_i["peak_before"] == pytest.approx(ref_i["peak_before"], abs=1e-9)
+    assert ours_i["peak_after"] == pytest.approx(ref_i["peak_after"], rel=1e-6)
+    assert ours_i["median_shift"] == pytest.approx(ref_i["median_shift"], abs=1e-6)
+    assert ours_i["artifact_variance_reduction_pct"] == pytest.approx(
+        ref_i["artifact_variance_reduction_pct"], abs=1e-6
+    )
+    assert metrics["tags_channel"] == ref["tags_channel"]
+    assert metrics["thresholds"] == ref["thresholds"]
+    assert filtered.shape == (26, 60000)
