@@ -27,10 +27,15 @@ from neural_speech_decoding_tpu.ops.iir import collector_filter_chain_batch
 
 
 def preprocess_trial(
-    raw_tc: np.ndarray, fs: float = 125.0, padtype: Optional[str] = "odd"
+    raw_tc: np.ndarray, fs: float = 125.0, padtype: Optional[str] = None
 ) -> np.ndarray:
     """Filter one raw [T, C] window and apply the reference's rounding
-    (7 decimals, -0 -> 0)."""
+    (7 decimals, -0 -> 0).
+
+    padtype=None (default) is the pad-free zero-phase pass — BrainFlow's
+    BUTTERWORTH_ZERO_PHASE behavior, which is what produced the shipped
+    dataset (reference: Neural_decoding_data_collector.py:111-127);
+    padtype="odd" gives scipy's edge extension instead."""
     out = np.asarray(
         collector_filter_chain_batch(raw_tc[None].astype(np.float64), fs, padtype)
     )[0]

@@ -245,11 +245,17 @@ _COLLECTOR_STAGES = (
 def collector_filter_chain(
     x_tc: jnp.ndarray,
     fs: float = 125.0,
-    padtype: Optional[str] = "odd",
+    padtype: Optional[str] = None,
     method: str = "scan",
 ) -> jnp.ndarray:
     """The reference collection-time preprocessing for one [T, C] window
     (reference: Neural_decoding_data_collector.py:111-127).
+
+    The default padtype=None is the pad-free forward-backward pass —
+    BrainFlow's BUTTERWORTH_ZERO_PHASE behavior, i.e. what actually
+    produced the shipped dataset (native/nsd_dsp.cpp implements the same
+    and tests/test_collector.py asserts f64 agreement); padtype="odd" is
+    scipy.signal.sosfiltfilt's default edge handling.
 
     method: "scan" (sequential, scipy-reference) or "parallel"
     (associative-scan — the TPU production path; sequential per-sample
@@ -288,7 +294,7 @@ def _chain_operator(t: int, fs: float, padtype: Optional[str]) -> np.ndarray:
 def collector_filter_chain_batch(
     x_btc: jnp.ndarray,
     fs: float = 125.0,
-    padtype: Optional[str] = "odd",
+    padtype: Optional[str] = None,
     method: str = "matmul",
 ) -> jnp.ndarray:
     """Batched collector chain [B, T, C] -> [B, T, C].

@@ -118,3 +118,54 @@ def test_repo_words_csv():
 
     root = Path(__file__).resolve().parents[1]
     assert load_words_csv(root / "words.csv") == ("water", "food", "yes", "no")
+
+
+def _native_lib_or_skip():
+    import subprocess
+    from pathlib import Path
+
+    from neural_speech_decoding_tpu.runtime import native
+
+    root = Path(__file__).resolve().parents[1]
+    if not (root / "native" / "build" / "libnsdboard.so").is_file():
+        try:
+            subprocess.run(
+                ["make", "-C", str(root / "native")],
+                check=True,
+                capture_output=True,
+            )
+        except Exception as e:  # pragma: no cover
+            pytest.skip(f"cannot build native lib: {e}")
+    if native.load_library() is None:
+        pytest.skip("native lib not loadable")
+    return native
+
+
+def test_collector_chain_matches_native_dsp():
+    """The JAX collector chain and the C++ DSP (native/nsd_dsp.cpp) are two
+    independent renderings of BrainFlow's detrend + pad-free zero-phase
+    Butterworth chain — drive the same real window through both and demand
+    f64 agreement. This pins the padtype=None default to the oracle the
+    repo itself ships."""
+    native = _native_lib_or_skip()
+    from neural_speech_decoding_tpu.ops.iir import _COLLECTOR_STAGES, butter_sos
+
+    ds = load_trials()
+    w = ds.windows[7].astype(np.float64)  # [T, C]
+
+    ours = np.asarray(preprocess_trial(w, fs=125.0))  # default pad-free
+
+    x_ct = w.T.copy()  # native DSP works along the last axis
+    x_ct = native.native_detrend_constant(x_ct)
+    for kind, order, lo, hi in _COLLECTOR_STAGES:
+        sos = np.asarray(butter_sos(kind, order, lo, hi, 125.0))
+        x_ct = native.native_sosfilt(x_ct, sos, zero_phase=True)
+    theirs = x_ct.T
+    theirs = np.round(theirs, decimals=7)
+    theirs[theirs == 0.0] = 0.0
+
+    np.testing.assert_allclose(ours, theirs, rtol=0, atol=2e-7)
+    # and the scipy-padded variant must NOT match at the edges (regression
+    # guard: the old default silently differed from the BrainFlow chain)
+    padded = np.asarray(preprocess_trial(w, fs=125.0, padtype="odd"))
+    assert np.abs(padded - theirs).max() > 1e-4
