@@ -344,6 +344,9 @@ def open_board(spec: str, num_channels: int = 8, speed: float = 1.0) -> Board:
       "native-replay[:path]"   C++ engine replay board
       "serial:<device>"        live text-frame acquisition from a serial
                                character device (runtime/serial_board.py)
+      "brainflow:<port>[:id]"  real Knight hardware through the BrainFlow
+                               BoardShim, where brainflow is installed
+                               (runtime/brainflow_board.py, import-gated)
       anything else            treated as an unadapted hardware port
     """
     if spec == "synthetic":
@@ -381,9 +384,20 @@ def open_board(spec: str, num_channels: int = 8, speed: float = 1.0) -> Board:
         from neural_speech_decoding_tpu.runtime.serial_board import SerialBoard
 
         return SerialBoard(spec.split(":", 1)[1], num_channels=num_channels)
+    if spec.startswith("brainflow:"):
+        # real Knight hardware via the BrainFlow BoardShim, where installed
+        # (import-gated adapter; reference: neurokit_connector.py:16)
+        from neural_speech_decoding_tpu.runtime.brainflow_board import (
+            BrainFlowBoard,
+        )
+
+        rest = spec.split(":", 1)[1]
+        port, _, board_id = rest.partition(":")
+        return BrainFlowBoard(port, int(board_id) if board_id else None)
     raise RuntimeError(
         f"board spec {spec!r} looks like a hardware serial port; the "
-        "BrainFlow binary protocol is not available here — use "
+        "BrainFlow binary protocol is not re-implementable here — use "
+        "'brainflow:<port>' where the brainflow package is installed, "
         "'serial:<device>' for text-frame devices, or 'replay[:path]' / "
         "'synthetic'"
     )
