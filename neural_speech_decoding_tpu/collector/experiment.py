@@ -62,19 +62,43 @@ def full_random_order(config: ExperimentConfig) -> List[str]:
     return [pool[i] for i in rng.permutation(len(pool))]
 
 
+def _phase_wait(seconds: float, presenter) -> None:
+    """Sleep through one stimulus phase, polling the abort path like the
+    reference's per-frame escape check (collector :683-693)."""
+    if presenter is None:
+        time.sleep(seconds)
+        return
+    from neural_speech_decoding_tpu.collector.stimulus import AbortRequested
+
+    deadline = time.perf_counter() + seconds
+    while True:
+        if presenter.aborted():
+            raise AbortRequested
+        remaining = deadline - time.perf_counter()
+        if remaining <= 0:
+            return
+        time.sleep(min(0.05, remaining))
+
+
 def run_experiment(
     board,
     out_dir,
     config: ExperimentConfig = ExperimentConfig(),
     speed: Optional[float] = None,
     on_trial: Optional[Callable[[int, str, Optional[Path]], None]] = None,
+    presenter=None,
 ) -> List[Path]:
     """Run a full collection session against a (started) board.
 
     The board must already be prepared + streaming. `speed` defaults to the
     board's own speed so schedule time and sample time stay consistent.
-    Returns the list of written CSV paths.
+    With a `presenter` (collector/stimulus.py) the subject-facing protocol
+    runs too — beep, cue word, COOL OFF — and an abort keeps the trials
+    written so far (reference escape semantics). Returns the list of
+    written CSV paths.
     """
+    from neural_speech_decoding_tpu.collector.stimulus import AbortRequested
+
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     speed = float(speed if speed is not None else getattr(board, "speed", 1.0))
@@ -82,6 +106,8 @@ def run_experiment(
 
     fs = board.get_sampling_rate(board.get_board_id())
     # warm-up: let the ring buffer fill past one window
+    if presenter is not None:
+        presenter.status("warming up…")
     t_deadline = time.time() + max(1.0, config.warmup_seconds * scale) + 10.0
     while (
         board.get_board_data_count() < config.window_samples
@@ -91,19 +117,30 @@ def run_experiment(
 
     paths: List[Path] = []
     order = full_random_order(config)
-    for i, word in enumerate(order):
-        # beep + word display: recording flag low (reference keeps the flag
-        # False while the word is on screen, collector :600)
-        time.sleep((config.beep_seconds + config.word_seconds) * scale)
-        # rising edge at word offset: capture last 625 samples
-        path = record_trial(
-            board, word, out_dir, window_samples=config.window_samples, fs=fs
-        )
-        if path is not None:
-            paths.append(path)
-        if on_trial is not None:
-            on_trial(i, word, path)
-        time.sleep(config.cooloff_seconds * scale)
+    try:
+        for i, word in enumerate(order):
+            # beep + word display: recording flag low (reference keeps the
+            # flag False while the word is on screen, collector :600)
+            if presenter is not None:
+                presenter.beep()
+            _phase_wait(config.beep_seconds * scale, presenter)
+            if presenter is not None:
+                presenter.show_word(word)
+            _phase_wait(config.word_seconds * scale, presenter)
+            # rising edge at word offset: capture last 625 samples
+            path = record_trial(
+                board, word, out_dir, window_samples=config.window_samples, fs=fs
+            )
+            if path is not None:
+                paths.append(path)
+            if on_trial is not None:
+                on_trial(i, word, path)
+            if presenter is not None:
+                presenter.cool_off()
+            _phase_wait(config.cooloff_seconds * scale, presenter)
+    except AbortRequested:
+        if presenter is not None:
+            presenter.status(f"aborted — kept {len(paths)} trials")
     return paths
 
 
@@ -120,9 +157,19 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--words-csv", default=None,
                     help="PsychoPy-style conditions file (words header)")
+    ap.add_argument(
+        "--stimulus", action="store_true",
+        help="present the protocol to a human subject in the terminal "
+             "(beep + cue word + COOL OFF, ESC/q aborts)",
+    )
     args = ap.parse_args()
 
     words = load_words_csv(args.words_csv) if args.words_csv else DEFAULT_WORDS
+    presenter = None
+    if args.stimulus:
+        from neural_speech_decoding_tpu.collector.stimulus import TerminalPresenter
+
+        presenter = TerminalPresenter()
     board = open_board(args.board, speed=args.speed)
     board.prepare_session()
     board.start_stream()
@@ -130,8 +177,12 @@ def main() -> None:
         cfg = ExperimentConfig(words=words, n_reps=args.reps, seed=args.seed)
         paths = run_experiment(
             board, args.out, cfg,
-            on_trial=lambda i, w, p: print(f"trial {i:03d} word={w} -> {p}"),
+            on_trial=None if args.stimulus
+            else (lambda i, w, p: print(f"trial {i:03d} word={w} -> {p}")),
+            presenter=presenter,
         )
+        if presenter is not None:
+            presenter.close()
         print(f"wrote {len(paths)} trials to {args.out}")
     finally:
         board.stop_stream()

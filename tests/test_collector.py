@@ -169,3 +169,59 @@ def test_collector_chain_matches_native_dsp():
     # guard: the old default silently differed from the BrainFlow chain)
     padded = np.asarray(preprocess_trial(w, fs=125.0, padtype="odd"))
     assert np.abs(padded - theirs).max() > 1e-4
+
+
+def test_stimulus_presenter_session(tmp_path):
+    """Full session with the terminal presenter on an accelerated board:
+    beep/word/cool-off calls in trial order, ANSI output produced, and all
+    trials written (reference protocol: collector :543-681)."""
+    import io
+
+    from neural_speech_decoding_tpu.collector.stimulus import TerminalPresenter
+
+    out = io.StringIO()
+    presenter = TerminalPresenter(out=out, listen_keys=False)
+    board = SyntheticBoard(speed=256.0)
+    board.prepare_session()
+    board.start_stream(5000)
+    try:
+        cfg = ExperimentConfig(words=("water", "food"), n_reps=1, seed=1)
+        paths = run_experiment(board, tmp_path, cfg, presenter=presenter)
+    finally:
+        presenter.close()
+        board.stop_stream()
+        board.release_session()
+    assert len(paths) == 2
+    text = out.getvalue()
+    assert "\a" in text  # beep
+    assert "WATER" in text and "FOOD" in text
+    assert "COOL OFF" in text
+    assert "(ESC or q to abort)" in text
+
+
+def test_stimulus_abort_keeps_partial_data(tmp_path):
+    """Abort after the first trial: the session ends early and keeps the
+    trials written so far (reference escape semantics)."""
+    import io
+
+    from neural_speech_decoding_tpu.collector.stimulus import TerminalPresenter
+
+    presenter = TerminalPresenter(out=io.StringIO(), listen_keys=False)
+    board = SyntheticBoard(speed=256.0)
+    board.prepare_session()
+    board.start_stream(5000)
+
+    def abort_after_first(i, word, path):
+        presenter.request_abort()
+
+    try:
+        cfg = ExperimentConfig(words=("water", "food", "yes"), n_reps=2, seed=0)
+        paths = run_experiment(
+            board, tmp_path, cfg, presenter=presenter, on_trial=abort_after_first
+        )
+    finally:
+        presenter.close()
+        board.stop_stream()
+        board.release_session()
+    assert len(paths) == 1
+    assert len(list(tmp_path.glob("*.csv"))) == 1
