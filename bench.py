@@ -158,8 +158,83 @@ def tpu_windows_per_sec(windows: np.ndarray) -> tuple[float, float, float, str]:
     return throughput, turbo_throughput, p50_ms, device_kind
 
 
+def mesh_windows_per_sec(windows: np.ndarray) -> tuple[float, int, str]:
+    """dp-sharded decode over ALL available devices (`bench.py --mesh`).
+
+    On the one tunneled chip this degenerates to dp=1; point JAX at a pod
+    slice (or a virtual CPU mesh) and the same code reports the aggregate
+    rate — GSPMD shards the batch axis, no per-device code.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from neural_speech_decoding_tpu.config import DecoderConfig, FilterConfig
+    from neural_speech_decoding_tpu.io.checkpoint import load_decoder_params
+    from neural_speech_decoding_tpu.models.lstm import decoder_apply
+    from neural_speech_decoding_tpu.ops.kuramoto import mai_filter
+    from neural_speech_decoding_tpu.parallel.mesh import make_mesh
+    from neural_speech_decoding_tpu.parallel.sharding import (
+        batch_sharding,
+        replicate,
+    )
+
+    mesh = make_mesh(tp=1)  # pure data parallelism for inference
+    dp = mesh.shape["dp"]
+    device_kind = jax.devices()[0].device_kind
+    params = replicate(mesh, load_decoder_params(CKPT))
+    filter_cfg = FilterConfig(precision="fast")
+    decoder_cfg = DecoderConfig()
+
+    @jax.jit
+    def pipeline(p, w):
+        filtered = jax.vmap(lambda x: mai_filter(x, filter_cfg))(w)
+        return jax.nn.softmax(decoder_apply(p, filtered, decoder_cfg), axis=-1)
+
+    batch_size = TPU_BATCH * dp
+    reps = int(np.ceil(batch_size / windows.shape[0]))
+    batch = jax.device_put(
+        np.tile(windows, (reps, 1, 1))[:batch_size].astype(np.float32),
+        batch_sharding(mesh),
+    )
+    np.asarray(pipeline(params, batch))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(TPU_ITERS):
+        out = pipeline(params, batch)
+    np.asarray(out)
+    dt = time.perf_counter() - t0
+    return batch_size * TPU_ITERS / dt, dp, device_kind
+
+
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--mesh", action="store_true",
+        help="dp-shard the decode over all devices and report the "
+             "aggregate windows/s (one JSON line, *_mesh metric)",
+    )
+    args = ap.parse_args()
     windows = _load_windows()
+
+    if args.mesh:
+        wps, dp, device_kind = mesh_windows_per_sec(windows)
+        print(
+            json.dumps(
+                {
+                    "metric": "eeg_windows_per_sec_mesh",
+                    "value": round(wps, 1),
+                    "unit": "windows/s",
+                    "vs_baseline": None,
+                    "devices": dp,
+                    "batch_per_device": TPU_BATCH,
+                    "device": device_kind,
+                }
+            )
+        )
+        return
+
     tpu_wps, turbo_wps, p50_ms, device_kind = tpu_windows_per_sec(windows)
     try:
         cpu_wps = cpu_reference_windows_per_sec(windows)
