@@ -1,0 +1,53 @@
+"""Driver-contract test for bench.py: one JSON line on stdout.
+
+Runs the real script in a fresh interpreter (tiny batch, CPU platform via
+config — env vars are too late under this image's sitecustomize) so a
+refactor can't silently break the metric line the driver records.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mesh", [False, True])
+def test_bench_emits_one_json_line(mesh):
+    argv = ["bench.py"] + (["--mesh"] if mesh else [])
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"import sys; sys.argv = {argv!r}\n"
+        "import runpy\n"
+        "runpy.run_path('bench.py', run_name='__main__')\n"
+    )
+    env = dict(os.environ)
+    env.update(
+        NSD_BENCH_BATCH="32",
+        NSD_BENCH_ITERS="1",
+        NSD_BENCH_CPU_WINDOWS="2",
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=REPO_ROOT,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    json_lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+    ]
+    assert len(json_lines) == 1, proc.stdout
+    payload = json.loads(json_lines[0])
+    assert payload["metric"].startswith("eeg_windows_per_sec")
+    assert payload["value"] > 0
+    assert payload["unit"].startswith("windows/s")
+    assert "vs_baseline" in payload
