@@ -37,6 +37,8 @@ def main() -> None:
     ap.add_argument("--label-smoothing", type=float, default=0.0)
     ap.add_argument("--augment", type=float, default=0.0,
                     help="noise-injection augmentation probability")
+    ap.add_argument("--aug-kinds", default="noise", choices=("noise", "all"),
+                    help="'all' adds time_shift/scale/channel_drop")
     ap.add_argument("--schedule", default="constant", choices=("constant", "cosine"))
     ap.add_argument("--patience", type=int, default=0,
                     help="early-stop patience in epochs (0 = off)")
@@ -76,6 +78,7 @@ def main() -> None:
             seed=args.seed,
             val_fraction=args.val_fraction,
             augment_prob=args.augment,
+            augment_kinds=args.aug_kinds,
             schedule=args.schedule,
             early_stop_patience=args.patience,
         ),

@@ -47,6 +47,9 @@ class TrainConfig:
     early_stop_patience: int = 0
     # noise-injection augmentation (train/augment.py); 0 disables
     augment_prob: float = 0.0
+    # "noise" = the reference's injectors; "all" adds the EEG-standard
+    # time_shift / scale / channel_drop transforms
+    augment_kinds: str = "noise"
     # orbax checkpoint/resume (train/checkpointing.py); None disables
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 20
@@ -211,10 +214,15 @@ def train(
     y_val = val_ds.labels.astype(np.int32)
 
     if train_cfg.augment_prob > 0:
-        from neural_speech_decoding_tpu.train.augment import augment_batch_np
+        from neural_speech_decoding_tpu.train.augment import (
+            ALL_KINDS,
+            KINDS,
+            augment_batch_np,
+        )
 
         x_aug, y_aug = augment_batch_np(
-            x_train, y_train, prob=train_cfg.augment_prob, seed=train_cfg.seed
+            x_train, y_train, prob=train_cfg.augment_prob, seed=train_cfg.seed,
+            kinds=ALL_KINDS if train_cfg.augment_kinds == "all" else KINDS,
         )
         x_train = np.concatenate([x_train, x_aug])
         y_train = np.concatenate([y_train, y_aug])

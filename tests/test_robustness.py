@@ -66,3 +66,37 @@ def test_dataset_summary_stats(dataset):
     sigma = w.std(axis=(0, 1))
     assert (sigma > 0.5).all() and (sigma < 5.0).all()
     assert w.min() > -200 and w.max() < 200
+
+
+def test_eeg_augment_kinds():
+    """time_shift / scale / channel_drop: label-preserving transforms with
+    the expected structure."""
+    import numpy as np
+
+    from neural_speech_decoding_tpu.train.augment import (
+        ALL_KINDS,
+        augment_batch_np,
+        inject_noise_np,
+    )
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((625, 8)).astype(np.float32)
+
+    shifted = inject_noise_np(w, "time_shift", np.random.default_rng(1))
+    assert shifted.shape == w.shape
+    assert np.isclose(np.abs(shifted).sum(), np.abs(w).sum(), rtol=1e-5)  # a roll
+
+    scaled = inject_noise_np(w, "scale", np.random.default_rng(2))
+    ratio = scaled / w
+    per_ch = ratio.mean(axis=0)
+    assert np.allclose(ratio, per_ch[None, :], atol=1e-5)  # per-channel constant
+    assert np.all((per_ch >= 0.8) & (per_ch <= 1.2))
+
+    dropped = inject_noise_np(w, "channel_drop", np.random.default_rng(3))
+    zero_cols = np.flatnonzero(np.all(dropped == 0.0, axis=0))
+    assert len(zero_cols) == 1
+
+    xs, ys = augment_batch_np(
+        np.stack([w] * 10), np.arange(10), prob=1.0, kinds=ALL_KINDS, seed=0
+    )
+    assert xs.shape[0] == 10 and (ys == np.arange(10)).all()

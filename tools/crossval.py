@@ -63,6 +63,7 @@ def main() -> None:
     ap.add_argument("--folds", type=int, default=5)
     ap.add_argument("--epochs", type=int, default=120)
     ap.add_argument("--augment", type=float, default=0.5)
+    ap.add_argument("--aug-kinds", default="noise", choices=("noise", "all"))
     ap.add_argument("--label-smoothing", type=float, default=0.1)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--schedule", default="constant", choices=("constant", "cosine"))
@@ -103,7 +104,11 @@ def main() -> None:
         x_train, y_train = filtered[inner_train_idx], ds.labels[inner_train_idx]
         x_ival, y_ival = filtered[inner_val_idx], ds.labels[inner_val_idx]
 
-        from neural_speech_decoding_tpu.train.augment import augment_batch_np
+        from neural_speech_decoding_tpu.train.augment import (
+            ALL_KINDS,
+            KINDS,
+            augment_batch_np,
+        )
         from neural_speech_decoding_tpu.train.loop import (
             _optimizer,
             make_eval_fn,
@@ -111,8 +116,10 @@ def main() -> None:
         )
 
         if args.augment > 0:
-            xa, ya = augment_batch_np(x_train, y_train, prob=args.augment,
-                                      seed=args.seed + fold_i)
+            xa, ya = augment_batch_np(
+                x_train, y_train, prob=args.augment, seed=args.seed + fold_i,
+                kinds=ALL_KINDS if args.aug_kinds == "all" else KINDS,
+            )
             x_train = np.concatenate([x_train, xa])
             y_train = np.concatenate([y_train, ya])
 
