@@ -187,3 +187,110 @@ def test_edf_workflow_reproduces_reference_metrics_json():
     assert metrics["tags_channel"] == ref["tags_channel"]
     assert metrics["thresholds"] == ref["thresholds"]
     assert filtered.shape == (26, 60000)
+
+
+def _make_edf(
+    path,
+    n_records=4,
+    record_seconds=1.0,
+    signals=(("C1", 100, -500.0, 500.0, -32768, 32767, "uV"),),
+    with_annotations=False,
+    truncate_bytes=0,
+):
+    """Build a minimal valid EDF file from scratch (fixed-layout ASCII
+    header + int16 LE records)."""
+    sigs = list(signals)
+    if with_annotations:
+        sigs.append(("EDF Annotations", 10, -1.0, 1.0, -32768, 32767, ""))
+    ns = len(sigs)
+
+    def f(text, width):
+        return str(text)[:width].ljust(width).encode("ascii")
+
+    header = b"".join([
+        f("0", 8), f("patient", 80), f("recording", 80),
+        f("01.01.26", 8), f("00.00.00", 8),
+        f(256 + 256 * ns, 8), f("", 44), f(n_records, 8),
+        f(record_seconds, 8), f(ns, 4),
+    ])
+    per = b""
+    fields = [
+        (16, [s[0] for s in sigs]),            # label
+        (80, ["" for s in sigs]),              # transducer
+        (8, [s[6] for s in sigs]),             # phys dim
+        (8, [s[2] for s in sigs]),             # phys min
+        (8, [s[3] for s in sigs]),             # phys max
+        (8, [s[4] for s in sigs]),             # dig min
+        (8, [s[5] for s in sigs]),             # dig max
+        (80, ["" for s in sigs]),              # prefiltering
+        (8, [s[1] for s in sigs]),             # samples per record
+        (32, ["" for s in sigs]),              # reserved
+    ]
+    for width, vals in fields:
+        for v in vals:
+            per += f(v, width)
+
+    rng = np.random.default_rng(0)
+    records = b""
+    digital = {}
+    for r in range(n_records):
+        for si, s in enumerate(sigs):
+            n = s[1]
+            dig = rng.integers(-30000, 30000, size=n, dtype=np.int16)
+            digital.setdefault(si, []).append(dig)
+            records += dig.astype("<i2").tobytes()
+    data = header + per + records
+    if truncate_bytes:
+        data = data[:-truncate_bytes]
+    Path(path).write_bytes(data)
+    return {k: np.concatenate(v) for k, v in digital.items()}
+
+
+def test_edf_synthetic_roundtrip(tmp_path):
+    """Physical-value conversion matches the EDF spec formula exactly."""
+    from neural_speech_decoding_tpu.analysis.io import read_edf_numeric
+
+    p = tmp_path / "synth.edf"
+    digital = _make_edf(p, signals=(
+        ("C1", 100, -500.0, 500.0, -32768, 32767, "uV"),
+        ("C2", 100, 0.0, 1000.0, 0, 1000, "uV"),
+    ))
+    sig, fs = read_edf_numeric(p)
+    assert sig.shape == (2, 400) and fs == 100.0
+    for i, (pmin, pmax, dmin, dmax) in enumerate(
+        [(-500.0, 500.0, -32768, 32767), (0.0, 1000.0, 0, 1000)]
+    ):
+        gain = (pmax - pmin) / (dmax - dmin)
+        expect = digital[i].astype(np.float64) * gain + (pmin - gain * dmin)
+        np.testing.assert_allclose(sig[i], expect, rtol=0, atol=0)
+
+
+def test_edf_skips_annotation_channels(tmp_path):
+    from neural_speech_decoding_tpu.analysis.io import read_edf_numeric
+
+    p = tmp_path / "annot.edf"
+    _make_edf(p, with_annotations=True)
+    sig, fs = read_edf_numeric(p)
+    assert sig.shape == (1, 400)  # annotation channel excluded
+    assert fs == 100.0
+
+
+def test_edf_rejects_mixed_rates(tmp_path):
+    from neural_speech_decoding_tpu.analysis.io import read_edf_numeric
+
+    p = tmp_path / "mixed.edf"
+    _make_edf(p, signals=(
+        ("C1", 100, -500.0, 500.0, -32768, 32767, "uV"),
+        ("C2", 50, -500.0, 500.0, -32768, 32767, "uV"),
+    ))
+    with pytest.raises(ValueError, match="mixed sampling rates"):
+        read_edf_numeric(p)
+
+
+def test_edf_drops_truncated_final_record(tmp_path):
+    from neural_speech_decoding_tpu.analysis.io import read_edf_numeric
+
+    p = tmp_path / "trunc.edf"
+    _make_edf(p, truncate_bytes=10)  # chop into the last record
+    sig, fs = read_edf_numeric(p)
+    assert sig.shape == (1, 300)  # 3 complete records survive
