@@ -192,8 +192,14 @@ def mai_filter(
     # Gauss-Jordan, which vectorizes over the batch on the VPU.
     if config.precision == "fast":
         # invert the tiny system (GJ on [C, 2C]) and apply as one matmul —
-        # keeping the T-wide right-hand side out of the elimination steps
+        # keeping the T-wide right-hand side out of the elimination steps.
         inv = _solve_gauss_jordan(a, eye)
+        # One Newton-Schulz refinement, X <- X (2I - A X): two extra C x C
+        # matmuls per window (noise at this size) squash the elimination's
+        # f32 rounding so the fast path holds the <=1e-4 logit budget too.
+        inv = jnp.matmul(
+            inv, 2.0 * eye - jnp.matmul(a, inv, precision=mm), precision=mm
+        )
         out = jnp.matmul(x, inv.T, precision=mm)
     else:
         out = jnp.linalg.solve(a, x.T).T
