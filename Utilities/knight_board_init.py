@@ -11,7 +11,6 @@ from typing import List
 import numpy as np
 
 from neural_speech_decoding_tpu.runtime.board import (
-    Board,
     open_board,
     read_channel_window,
     send_board_command,
@@ -21,9 +20,9 @@ from neural_speech_decoding_tpu.runtime.board import (
 class KnightBoard:
     def __init__(self, serial_port, num_channels: int = 8, buffer_size: int = 450000):
         self.board = (
-            serial_port
-            if isinstance(serial_port, Board)
-            else open_board(str(serial_port), num_channels=num_channels)
+            open_board(serial_port, num_channels=num_channels)
+            if isinstance(serial_port, str)
+            else serial_port
         )
         self.board_shim = self.board  # the collector reaches through this
         self.num_channels = int(num_channels)

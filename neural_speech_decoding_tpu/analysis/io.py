@@ -4,14 +4,15 @@ Parity with the reference offline tool's intake behavior (reference:
 MindsAI/examples/Minds_AI_Filter_Offline_Signal_Analysis.py:63-258):
 numeric CSV reading that tolerates headers/index columns and either
 delimiter, orientation auto-detection ([C, T] vs [T, C]), unit
-auto-detection (volts/millivolts/microvolts -> microvolts), and optional
-EDF reading (gated on pyedflib, absent in this image).
+auto-detection (volts/millivolts/microvolts -> microvolts), and a stdlib
+EDF/EDF+ reader (no pyedflib needed; golden-tested against the metrics
+JSON the reference ships next to its eeg.edf).
 """
 
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
@@ -139,7 +140,7 @@ class EdfHeader:
         return self.labels[i].upper().startswith("EDF ANNOTATIONS")
 
 
-def read_edf_numeric(path) -> Tuple[np.ndarray, Optional[float]]:
+def read_edf_numeric(path) -> Tuple[np.ndarray, float]:
     """Read an EDF/EDF+ file into ([C, T] float64 physical values, fs).
 
     Stdlib implementation of the fixed-layout EDF format (the reference
@@ -153,6 +154,13 @@ def read_edf_numeric(path) -> Tuple[np.ndarray, Optional[float]]:
     ns = hdr.n_signals
     rec_samples = hdr.samples_per_record
     rec_words = sum(rec_samples)
+    if hdr.record_seconds <= 0:
+        raise ValueError(
+            "EDF declares a zero-duration data record (annotation-only "
+            "EDF+); no sampled signals to read"
+        )
+    if rec_words <= 0:
+        raise ValueError("EDF declares zero samples per data record")
 
     data_idx = [i for i in range(ns) if not hdr.is_annotation(i)]
     if not data_idx:

@@ -181,10 +181,12 @@ def main() -> None:
             else (lambda i, w, p: print(f"trial {i:03d} word={w} -> {p}")),
             presenter=presenter,
         )
-        if presenter is not None:
-            presenter.close()
         print(f"wrote {len(paths)} trials to {args.out}")
     finally:
+        # presenter first: its close() restores the terminal (cbreak/echo)
+        # even when the board raised or the user hit Ctrl-C mid-session
+        if presenter is not None:
+            presenter.close()
         board.stop_stream()
         board.release_session()
 

@@ -122,6 +122,9 @@ def capture_device_snapshot() -> None:
         STATE.status_msg = f"Device recording failed: {exc}"
         STATE.eeg_data = None
         STATE.word_probs = {c: 0.0 for c in CLASSES}
+        # nothing is recording after a failed capture — don't leave the
+        # badge up with Start locked behind a doomed Stop re-capture
+        STATE.running = False
         return
 
     if result.avg_probs is not None:

@@ -49,6 +49,9 @@ class BrainFlowBoard:
         self._shim_cls = BoardShim
         self._board_id = int(board_id)
         self._shim = BoardShim(self._board_id, params)
+        # part of the runtime Board surface: StreamDecoder and the
+        # session-ownership logic read it
+        self._streaming = False
 
     # -- Board surface ----------------------------------------------------
     def get_board_id(self) -> int:
@@ -79,9 +82,11 @@ class BrainFlowBoard:
 
     def start_stream(self, buffer_size: int = 450000) -> None:
         self._shim.start_stream(buffer_size)
+        self._streaming = True
 
     def stop_stream(self) -> None:
         self._shim.stop_stream()
+        self._streaming = False
 
     def release_session(self) -> None:
         self._shim.release_session()

@@ -19,7 +19,6 @@ from typing import List
 import numpy as np
 
 from neural_speech_decoding_tpu.runtime.board import (
-    Board,
     open_board,
     read_channel_window,
     send_board_command,
@@ -35,10 +34,13 @@ class Connector:
         configure_channels: bool = True,
         stabilize: bool = False,
     ):
-        if isinstance(board_or_spec, Board):
-            self.board = board_or_spec
+        # dispatch on spec-ness, not a concrete class: board objects include
+        # duck-typed adapters (e.g. BrainFlowBoard) that are not Board
+        # subclasses
+        if isinstance(board_or_spec, str):
+            self.board = open_board(board_or_spec, num_channels=num_channels)
         else:
-            self.board = open_board(str(board_or_spec), num_channels=num_channels)
+            self.board = board_or_spec
         self.num_channels = int(num_channels)
         self.buffer_size = int(buffer_size)
         self.configure_channels = configure_channels

@@ -62,10 +62,12 @@ class StreamDecoder:
         average_n: int = 10,
     ):
         self.engine = engine
+        # spec strings open a board; anything else is used as-is (includes
+        # duck-typed adapters that are not Board subclasses)
         self.board: Board = (
-            board_or_spec
-            if isinstance(board_or_spec, Board)
-            else open_board(str(board_or_spec))
+            open_board(board_or_spec)
+            if isinstance(board_or_spec, str)
+            else board_or_spec
         )
         self.window_seconds = float(window_seconds)
         self.hop_seconds = float(hop_seconds)

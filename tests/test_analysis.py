@@ -294,3 +294,12 @@ def test_edf_drops_truncated_final_record(tmp_path):
     _make_edf(p, truncate_bytes=10)  # chop into the last record
     sig, fs = read_edf_numeric(p)
     assert sig.shape == (1, 300)  # 3 complete records survive
+
+
+def test_edf_rejects_zero_duration_records(tmp_path):
+    from neural_speech_decoding_tpu.analysis.io import read_edf_numeric
+
+    p = tmp_path / "zerodur.edf"
+    _make_edf(p, record_seconds=0)
+    with pytest.raises(ValueError, match="zero-duration"):
+        read_edf_numeric(p)

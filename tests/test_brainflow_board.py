@@ -123,3 +123,23 @@ def test_adapter_works_with_connector(fake_brainflow):
     assert win.shape == (8, 10)
     conn.stop_stream()
     assert ("config_bytes", b"chon_1_12") in fake_brainflow
+
+
+def test_adapter_works_with_stream_decoder(fake_brainflow, checkpoint_path):
+    """StreamDecoder must run over the adapter (it reads board._streaming
+    for session ownership — regression: the adapter initially lacked it)."""
+    from neural_speech_decoding_tpu.runtime.engine import InferenceEngine
+    from neural_speech_decoding_tpu.runtime.stream import StreamDecoder
+
+    engine = InferenceEngine(str(checkpoint_path))
+    decoder = StreamDecoder(
+        engine, "brainflow:/dev/ttyS9", window_seconds=0.2, hop_seconds=0.1,
+        average_n=2,
+    )
+    # the fake shim pre-fills 100 static samples (0.8 s at 125 Hz) — enough
+    # for exactly one window; the counter never advances for a second hop
+    preds, stats = decoder.run(1, timeout=30, warm=False)
+    assert len(preds) == 1
+    assert preds[0].probs.shape == (3,)
+    names = [c[0] for c in fake_brainflow]
+    assert "prepare" in names and "start" in names and "release" in names
