@@ -62,8 +62,8 @@ def _eegnet_spec(name: str, num_classes: int, class_names) -> "ModelSpec":
     )
 
 
-def _tcn_spec(name: str, num_classes: int, class_names) -> "ModelSpec":
-    cfg = _tcn.TCNConfig(num_classes=num_classes)
+def _tcn_spec(name: str, num_classes: int, class_names, **cfg_kw) -> "ModelSpec":
+    cfg = _tcn.TCNConfig(num_classes=num_classes, **cfg_kw)
     return ModelSpec(
         name=name,
         config=cfg,
@@ -97,6 +97,14 @@ _BUILDERS: Dict[str, Callable[[], ModelSpec]] = {
     "transformer5": lambda: _transformer_spec("transformer5", 5, FIVE_CLASS_NAMES),
     "tcn": lambda: _tcn_spec("tcn", 3, THREE_CLASS_NAMES),
     "tcn5": lambda: _tcn_spec("tcn5", 5, FIVE_CLASS_NAMES),
+    # capacity variants for the tiny-dataset regime (179 trials): a small,
+    # harder-regularized stack and a wide one, CV-compared in BENCHMARKS
+    "tcn_small": lambda: _tcn_spec(
+        "tcn_small", 3, THREE_CLASS_NAMES, width=32, blocks=4, dropout=0.45
+    ),
+    "tcn_wide": lambda: _tcn_spec(
+        "tcn_wide", 3, THREE_CLASS_NAMES, width=64, dropout=0.4
+    ),
 }
 
 
