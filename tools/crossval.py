@@ -57,24 +57,27 @@ def stratified_folds(labels: np.ndarray, k: int, seed: int = 0):
     return [np.sort(np.asarray(f)) for f in folds]
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="lstm")
-    ap.add_argument("--folds", type=int, default=5)
-    ap.add_argument("--epochs", type=int, default=120)
-    ap.add_argument("--augment", type=float, default=0.5)
-    ap.add_argument("--aug-kinds", default="noise", choices=("noise", "all"))
-    ap.add_argument("--label-smoothing", type=float, default=0.1)
-    ap.add_argument("--lr", type=float, default=1e-3)
-    ap.add_argument("--schedule", default="constant", choices=("constant", "cosine"))
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument(
-        "--protocol", default="nested", choices=("nested", "last", "biased")
-    )
-    ap.add_argument("--json", default=None)
-    args = ap.parse_args()
+def run_crossval(
+    model: str = "lstm",
+    folds: int = 5,
+    epochs: int = 120,
+    augment: float = 0.5,
+    aug_kinds: str = "noise",
+    label_smoothing: float = 0.1,
+    lr: float = 1e-3,
+    schedule: str = "constant",
+    seed: int = 0,
+    protocol: str = "nested",
+    verbose: bool = True,
+) -> dict:
+    """K-fold CV of one configuration; returns the summary dict (the
+    importable form — tools/sweep.py grids over this)."""
 
-    spec_probe = get_model(args.model)
+    def log(msg):
+        if verbose:
+            print(msg, flush=True)
+
+    spec_probe = get_model(model)
     if len(spec_probe.class_names) == 5:
         from neural_speech_decoding_tpu.config import FIVE_CLASS_PREFIXES
 
@@ -83,11 +86,11 @@ def main() -> None:
         ds = load_trials()
     fcfg = FilterConfig(precision="fast")
     filtered = np.asarray(mai_filter_batch(ds.windows, fcfg))
-    spec = get_model(args.model)
+    spec = get_model(model)
     ref = load_decoder_params(REFERENCE_CKPT)
     lstm_spec = get_model("lstm")
 
-    folds = stratified_folds(ds.labels, args.folds, args.seed)
+    folds = stratified_folds(ds.labels, folds, seed)
     ours = {"nested": [], "last": [], "biased": []}
     theirs = []
     for fold_i, val_idx in enumerate(folds):
@@ -98,7 +101,7 @@ def main() -> None:
         # TRAINING set only — ~1/6 of it — before augmentation, so neither
         # the outer fold nor augmented copies of inner-val trials ever
         # influence which epoch is kept.
-        inner_val_rel = stratified_folds(ds.labels[train_idx], 6, args.seed + 100 + fold_i)[0]
+        inner_val_rel = stratified_folds(ds.labels[train_idx], 6, seed + 100 + fold_i)[0]
         inner_val_idx = train_idx[inner_val_rel]
         inner_train_idx = np.setdiff1d(train_idx, inner_val_idx)
         x_train, y_train = filtered[inner_train_idx], ds.labels[inner_train_idx]
@@ -115,18 +118,18 @@ def main() -> None:
             make_train_step,
         )
 
-        if args.augment > 0:
+        if augment > 0:
             xa, ya = augment_batch_np(
-                x_train, y_train, prob=args.augment, seed=args.seed + fold_i,
-                kinds=ALL_KINDS if args.aug_kinds == "all" else KINDS,
+                x_train, y_train, prob=augment, seed=seed + fold_i,
+                kinds=ALL_KINDS if aug_kinds == "all" else KINDS,
             )
             x_train = np.concatenate([x_train, xa])
             y_train = np.concatenate([y_train, ya])
 
         cfg = TrainConfig(
-            learning_rate=args.lr, epochs=args.epochs, batch_size=32,
-            label_smoothing=args.label_smoothing, seed=args.seed + fold_i,
-            schedule=args.schedule,
+            learning_rate=lr, epochs=epochs, batch_size=32,
+            label_smoothing=label_smoothing, seed=seed + fold_i,
+            schedule=schedule,
         )
         optimizer = _optimizer(cfg, max(1, len(x_train) // 32))
         rng = jax.random.PRNGKey(cfg.seed)
@@ -173,19 +176,18 @@ def main() -> None:
             # the reference has no 5-class decoder (it abandoned the task);
             # chance = 20%
             theirs.append(float("nan"))
-        print(
+        log(
             f"fold {fold_i}: nested {ours['nested'][-1]:.3f} | "
             f"last {ours['last'][-1]:.3f} | biased {ours['biased'][-1]:.3f} | "
-            f"reference {theirs[-1]:.3f}",
-            flush=True,
+            f"reference {theirs[-1]:.3f}"
         )
 
     summary = {
-        "model": args.model,
-        "folds": args.folds,
-        "protocol": args.protocol,
-        "ours_mean": float(np.mean(ours[args.protocol])),
-        "ours_std": float(np.std(ours[args.protocol])),
+        "model": model,
+        "folds": folds,
+        "protocol": protocol,
+        "ours_mean": float(np.mean(ours[protocol])),
+        "ours_std": float(np.std(ours[protocol])),
         "reference_mean": float(np.nanmean(theirs)),
         "reference_std": float(np.nanstd(theirs)),
         "by_protocol": {
@@ -193,15 +195,46 @@ def main() -> None:
             for name, v in ours.items()
         },
         "reference": theirs,
+        "config": {
+            "epochs": epochs, "augment": augment, "aug_kinds": aug_kinds,
+            "label_smoothing": label_smoothing, "lr": lr,
+            "schedule": schedule, "seed": seed,
+        },
     }
-    print(f"\n{args.model} {args.folds}-fold:")
+    log(f"\n{model} {folds}-fold:")
     for name in ("nested", "last", "biased"):
-        s = summary["by_protocol"][name]
-        tag = " (headline)" if name == args.protocol else ""
-        print(f"  {name:7s} {s['mean']:.3f} ± {s['std']:.3f}{tag}")
-    print(
+        row = summary["by_protocol"][name]
+        tag = " (headline)" if name == protocol else ""
+        log(f"  {name:7s} {row['mean']:.3f} ± {row['std']:.3f}{tag}")
+    log(
         f"  reference checkpoint {summary['reference_mean']:.3f} "
         f"± {summary['reference_std']:.3f}"
+    )
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="lstm")
+    ap.add_argument("--folds", type=int, default=5)
+    ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument("--augment", type=float, default=0.5)
+    ap.add_argument("--aug-kinds", default="noise", choices=("noise", "all"))
+    ap.add_argument("--label-smoothing", type=float, default=0.1)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--schedule", default="constant", choices=("constant", "cosine"))
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--protocol", default="nested", choices=("nested", "last", "biased")
+    )
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    summary = run_crossval(
+        model=args.model, folds=args.folds, epochs=args.epochs,
+        augment=args.augment, aug_kinds=args.aug_kinds,
+        label_smoothing=args.label_smoothing, lr=args.lr,
+        schedule=args.schedule, seed=args.seed, protocol=args.protocol,
     )
     if args.json:
         Path(args.json).write_text(json.dumps(summary, indent=2))
