@@ -82,11 +82,15 @@ def cpu_reference_windows_per_sec(windows: np.ndarray) -> float:
 
     for w in windows[:3]:  # warmup
         ref_predict(w)
-    t0 = time.perf_counter()
-    for w in windows[: CPU_WINDOWS]:
-        ref_predict(w)
-    dt = time.perf_counter() - t0
-    return CPU_WINDOWS / dt
+    # median of three passes: single-pass rates vary ~±15% run to run on
+    # this shared host, which used to dominate the vs_baseline ratio
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for w in windows[:CPU_WINDOWS]:
+            ref_predict(w)
+        rates.append(CPU_WINDOWS / (time.perf_counter() - t0))
+    return float(np.median(rates))
 
 
 def tpu_windows_per_sec(windows: np.ndarray) -> tuple[float, float, float, str]:
