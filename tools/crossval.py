@@ -90,10 +90,10 @@ def run_crossval(
     ref = load_decoder_params(REFERENCE_CKPT)
     lstm_spec = get_model("lstm")
 
-    folds = stratified_folds(ds.labels, folds, seed)
+    fold_indices = stratified_folds(ds.labels, folds, seed)
     ours = {"nested": [], "last": [], "biased": []}
     theirs = []
-    for fold_i, val_idx in enumerate(folds):
+    for fold_i, val_idx in enumerate(fold_indices):
         train_idx = np.setdiff1d(np.arange(len(ds)), val_idx)
         x_val, y_val = filtered[val_idx], ds.labels[val_idx]
 
