@@ -26,6 +26,7 @@ ZOO = [
     ("transformer5", "transformer5_best.npz"),
     ("tcn", "tcn3_best.npz"),
     ("tcn", "tcn3_cosine.npz"),
+    ("tcn", "tcn3_deploy.npz"),
     ("tcn5", "tcn5_best.npz"),
 ]
 
