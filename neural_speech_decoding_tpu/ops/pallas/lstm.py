@@ -9,8 +9,12 @@ VPU-transcendental-bound (4 x sigmoid/tanh on [B, 48] per step), not
 HBM-bound — XLA's scan pipelines the xp prefetch well and runs ~29 ms vs
 ~35 ms for this kernel (block 512x25), so `lax.scan` remains the default
 production path (models/lstm.py) and this kernel is the maintained
-alternative for future fusion work (e.g. bf16 gate math, fused 2-layer +
-attention variants). Numerics match the scan path to ~6e-6.
+alternative for future fusion work. Numerics match the scan path to
+~6e-6. Re-measured after the rational-gate change (gate_math="rational",
+B=16384, full pipeline): XLA scan 114k windows/s vs this kernel 96k at
+the same ~4e-6 agreement — polynomial gates fuse just as well in XLA's
+scan body, and larger blocks (1024x25, 512x125) exceed the VMEM budget,
+so the conclusion is unchanged.
 
 Design:
 
@@ -36,8 +40,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from neural_speech_decoding_tpu.ops import gates as gates_ops
 
-def _lstm_kernel(w_ih_ref, w_hh_ref, b_ref, x_ref, out_ref, xp_ref, h_ref, c_ref):
+
+def _lstm_kernel(
+    w_ih_ref, w_hh_ref, b_ref, x_ref, out_ref, xp_ref, h_ref, c_ref,
+    *, gate_math: str = "builtin",
+):
     tc = pl.program_id(1)
 
     @pl.when(tc == 0)
@@ -48,7 +57,10 @@ def _lstm_kernel(w_ih_ref, w_hh_ref, b_ref, x_ref, out_ref, xp_ref, h_ref, c_ref
     chunk, bb, in_dim = x_ref.shape
     h_dim = h_ref.shape[1]
 
-    # whole-chunk input projection: one MXU matmul, result stays in VMEM
+    # whole-chunk input projection: one MXU matmul, result stays in VMEM.
+    # In rational mode the i/f/o gate columns of w_ih/w_hh/b arrive
+    # pre-halved (exact x0.5, models/lstm.py trick) so sigmoid folds into
+    # the same whole-block rational tanh.
     x2d = x_ref[:].reshape(chunk * bb, in_dim)
     xp_ref[:] = (
         jnp.dot(x2d, w_ih_ref[:], preferred_element_type=jnp.float32,
@@ -58,25 +70,50 @@ def _lstm_kernel(w_ih_ref, w_hh_ref, b_ref, x_ref, out_ref, xp_ref, h_ref, c_ref
 
     w_hh = w_hh_ref[:]
 
-    def step(t, carry):
-        h, c = carry
-        gates = xp_ref[t] + jnp.dot(h, w_hh, preferred_element_type=jnp.float32,
-                                    precision=jax.lax.Precision.HIGHEST)
-        i = jax.nn.sigmoid(gates[:, 0 * h_dim : 1 * h_dim])
-        f = jax.nn.sigmoid(gates[:, 1 * h_dim : 2 * h_dim])
-        g = jnp.tanh(gates[:, 2 * h_dim : 3 * h_dim])
-        o = jax.nn.sigmoid(gates[:, 3 * h_dim : 4 * h_dim])
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
-        out_ref[t] = h
-        return h, c
+    if gate_math == "rational":
+
+        def step(t, carry):
+            h, c = carry
+            gates = xp_ref[t] + jnp.dot(
+                h, w_hh, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            y = gates_ops.tanh(gates)
+            sig = 0.5 + 0.5 * y
+            i = sig[:, 0 * h_dim : 1 * h_dim]
+            f = sig[:, 1 * h_dim : 2 * h_dim]
+            g = y[:, 2 * h_dim : 3 * h_dim]
+            o = sig[:, 3 * h_dim : 4 * h_dim]
+            c = f * c + i * g
+            h = o * gates_ops.tanh(c)
+            out_ref[t] = h
+            return h, c
+
+    else:
+
+        def step(t, carry):
+            h, c = carry
+            gates = xp_ref[t] + jnp.dot(
+                h, w_hh, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            i = jax.nn.sigmoid(gates[:, 0 * h_dim : 1 * h_dim])
+            f = jax.nn.sigmoid(gates[:, 1 * h_dim : 2 * h_dim])
+            g = jnp.tanh(gates[:, 2 * h_dim : 3 * h_dim])
+            o = jax.nn.sigmoid(gates[:, 3 * h_dim : 4 * h_dim])
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            out_ref[t] = h
+            return h, c
 
     h, c = jax.lax.fori_loop(0, chunk, step, (h_ref[:], c_ref[:]))
     h_ref[:] = h
     c_ref[:] = c
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "block_t", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_b", "block_t", "interpret", "gate_math")
+)
 def lstm_layer_pallas(
     x_tbc: jnp.ndarray,
     w_ih: jnp.ndarray,
@@ -86,10 +123,13 @@ def lstm_layer_pallas(
     block_b: int = 512,
     block_t: int = 25,
     interpret: bool = False,
+    gate_math: str = "builtin",
 ) -> jnp.ndarray:
     """One LSTM layer over the full sequence, time-major:
     [T, B, in] -> [T, B, H]. B % block_b == 0 (or a single tile is used),
-    T % block_t == 0.
+    T % block_t == 0. gate_math="rational" matches models/lstm.py's
+    accurate-gate formulation (pre-halved sigmoid columns folded into the
+    weights here, identically to the scan path).
     """
     t, bsz, in_dim = x_tbc.shape
     h_dim = w_hh.shape[0]
@@ -98,9 +138,16 @@ def lstm_layer_pallas(
     if t % block_t:
         raise ValueError(f"T={t} not divisible by block_t={block_t}")
 
+    if gate_math == "rational":
+        half = jnp.ones((4 * h_dim,), jnp.float32).at[: 2 * h_dim].set(0.5)
+        half = half.at[3 * h_dim :].set(0.5)
+        w_ih = w_ih * half[None, :]
+        w_hh = w_hh * half[None, :]
+        b = b * half
+
     grid = (bsz // block_b, t // block_t)
     return pl.pallas_call(
-        _lstm_kernel,
+        functools.partial(_lstm_kernel, gate_math=gate_math),
         grid=grid,
         in_specs=[
             pl.BlockSpec((in_dim, 4 * h_dim), lambda i, tc: (0, 0), memory_space=pltpu.VMEM),
@@ -137,7 +184,7 @@ def lstm_layer_pallas(
     )
 
 
-def decoder_apply_pallas(params, x_btc, config=None, *, block_b=512, block_t=25, interpret=False):
+def decoder_apply_pallas(params, x_btc, config=None, *, block_b=512, block_t=25, interpret=False, gate_math=None):
     """Eval-mode decoder forward using the Pallas recurrence for both LSTM
     layers. The sequence stays time-major between layers and through
     attention pooling, so the only layout change is one [B,T,C]->[T,B,C]
@@ -146,11 +193,14 @@ def decoder_apply_pallas(params, x_btc, config=None, *, block_b=512, block_t=25,
     from neural_speech_decoding_tpu.config import DecoderConfig
 
     config = config or DecoderConfig()
+    if gate_math is None:
+        gate_math = config.gate_math
     out = jnp.transpose(x_btc.astype(jnp.float32), (1, 0, 2))  # [T, B, C]
     for layer in params["lstm"]:
         out = lstm_layer_pallas(
             out, layer["w_ih"], layer["w_hh"], layer["b"],
             block_b=block_b, block_t=block_t, interpret=interpret,
+            gate_math=gate_math,
         )
 
     # attention pooling over time (axis 0 in this layout); HIGHEST matmul
