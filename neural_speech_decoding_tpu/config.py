@@ -65,9 +65,9 @@ class DecoderConfig:
     layernorm_eps: float = 1e-5
     # dtype of the LSTM recurrence (gate math + recurrent matmul).
     # "float32" is the parity default; "bfloat16" is the TPU turbo mode:
-    # ~1.45x decode throughput at ~99.5% argmax agreement (the disagreeing
-    # windows are borderline cases where pure-f32 op reordering already
-    # flips ~1%). Attention/head always run f32.
+    # ~1.9x decode throughput; 100% argmax agreement on all 179 shipped
+    # trials (max logit delta ~2.6e-1 — see docs/BENCHMARKS.md Fidelity).
+    # Attention/head always run f32.
     recurrence_dtype: str = "float32"
     # tanh/sigmoid implementation for the recurrence. "rational" evaluates
     # ~1-ulp minimax rationals from correctly-rounded VPU mul/adds — the
