@@ -6,6 +6,7 @@
 `config_board` calls.
 """
 
+import os
 from typing import List
 
 import numpy as np
@@ -20,8 +21,8 @@ from neural_speech_decoding_tpu.runtime.board import (
 class KnightBoard:
     def __init__(self, serial_port, num_channels: int = 8, buffer_size: int = 450000):
         self.board = (
-            open_board(serial_port, num_channels=num_channels)
-            if isinstance(serial_port, str)
+            open_board(str(serial_port), num_channels=num_channels)
+            if isinstance(serial_port, (str, os.PathLike))
             else serial_port
         )
         self.board_shim = self.board  # the collector reaches through this

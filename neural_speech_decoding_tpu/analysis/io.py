@@ -172,6 +172,11 @@ def read_edf_numeric(path) -> Tuple[np.ndarray, float]:
             "uniform-fs channels required"
         )
     fs = rates.pop()
+    if fs <= 0:
+        raise ValueError(
+            "EDF data channels declare zero samples per record — no "
+            "sampled data to read"
+        )
 
     body = raw[hdr.header_bytes :]
     n_complete = len(body) // (rec_words * 2)

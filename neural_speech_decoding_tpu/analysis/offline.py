@@ -46,8 +46,7 @@ def analyze_file(
     """
     if str(path).lower().endswith(".edf"):
         data_ct, edf_fs = read_edf_numeric(path)
-        if edf_fs:
-            fs = edf_fs
+        fs = edf_fs  # the header is authoritative for EDF
     else:
         arr = read_numeric_csv(path)
         data_ct = detect_orientation(arr)

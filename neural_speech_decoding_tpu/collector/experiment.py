@@ -105,7 +105,9 @@ def run_experiment(
     scale = 1.0 / speed
 
     fs = board.get_sampling_rate(board.get_board_id())
-    # warm-up: let the ring buffer fill past one window
+    # warm-up: let the ring buffer fill past one window. The abort key must
+    # already respond here (reference checks escape every frame) — a human
+    # otherwise stares at a dead "warming up" screen for up to ~35 s.
     if presenter is not None:
         presenter.status("warming up…")
     t_deadline = time.time() + max(1.0, config.warmup_seconds * scale) + 10.0
@@ -113,6 +115,9 @@ def run_experiment(
         board.get_board_data_count() < config.window_samples
         and time.time() < t_deadline
     ):
+        if presenter is not None and presenter.aborted():
+            presenter.status("aborted during warm-up — no trials recorded")
+            return []
         time.sleep(0.01)
 
     paths: List[Path] = []
@@ -170,10 +175,13 @@ def main() -> None:
         from neural_speech_decoding_tpu.collector.stimulus import TerminalPresenter
 
         presenter = TerminalPresenter()
-    board = open_board(args.board, speed=args.speed)
-    board.prepare_session()
-    board.start_stream()
+    board = None
     try:
+        # board setup INSIDE the try: a bad port must still restore the
+        # terminal (presenter.close()) on the way out
+        board = open_board(args.board, speed=args.speed)
+        board.prepare_session()
+        board.start_stream()
         cfg = ExperimentConfig(words=words, n_reps=args.reps, seed=args.seed)
         paths = run_experiment(
             board, args.out, cfg,
@@ -181,14 +189,16 @@ def main() -> None:
             else (lambda i, w, p: print(f"trial {i:03d} word={w} -> {p}")),
             presenter=presenter,
         )
+        if presenter is not None:
+            presenter.close()  # stop the key listener, restore echo
+            presenter = None
         print(f"wrote {len(paths)} trials to {args.out}")
     finally:
-        # presenter first: its close() restores the terminal (cbreak/echo)
-        # even when the board raised or the user hit Ctrl-C mid-session
         if presenter is not None:
             presenter.close()
-        board.stop_stream()
-        board.release_session()
+        if board is not None:
+            board.stop_stream()
+            board.release_session()
 
 
 if __name__ == "__main__":

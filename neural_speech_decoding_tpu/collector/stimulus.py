@@ -130,8 +130,11 @@ class TerminalPresenter(Presenter):
         self.out.flush()
 
     def close(self) -> None:
+        """Stop the key listener (restoring the terminal mode). Leaves the
+        screen contents alone so the final status / session summary stays
+        visible after the program exits."""
         self._stop_listener.set()
         if self._listener is not None:
             self._listener.join(timeout=1.0)
-        self.out.write("\x1b[2J\x1b[H")
+        self.out.write("\n")
         self.out.flush()

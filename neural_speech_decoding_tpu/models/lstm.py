@@ -111,49 +111,28 @@ def _lstm_layer(
     w_hh = layer["w_hh"].astype(recurrence_dtype)
 
     if gate_math == "rational":
-        # One rational-tanh pass covers all four gates: sigmoid(x) =
-        # 0.5 + 0.5 * tanh(x / 2), so halving the i, f, o gate columns turns
-        # the whole [B, 4H] block into a single tanh, with a cheap affine
-        # fixup on the sigmoid slices. The halving is folded into the
-        # recurrent weights and the hoisted input projection — zero extra
-        # ops inside the scan. 1.25 rational evals per step (block +
-        # tanh(c)) instead of 2.25, at ~100x the on-TPU builtin gate
-        # accuracy (ops/gates.py). Halving by 0.5 is exact in binary, so
-        # this changes no results vs the two-eval formulation.
-        half_sig = jnp.ones((4 * h_dim,), recurrence_dtype).at[: 2 * h_dim].set(0.5)
-        half_sig = half_sig.at[3 * h_dim :].set(0.5)
+        # One rational-tanh pass covers all four gates (ops/gates.py:
+        # sigmoid_fold_mask / lstm_gate_block): halving the i, f, o gate
+        # columns turns the whole [B, 4H] block into a single tanh, folded
+        # into the recurrent weights and the hoisted input projection —
+        # zero extra ops inside the scan. 1.25 rational evals per step
+        # (block + tanh(c)) instead of 2.25, at ~100x the on-TPU builtin
+        # gate accuracy. Exact in binary (x0.5), so this changes no
+        # results vs the two-eval formulation.
+        half_sig = gates_ops.sigmoid_fold_mask(h_dim, recurrence_dtype)
         w_hh = w_hh * half_sig[None, :]
         xp_tbh = xp_tbh * half_sig
 
-        def step(carry: Tuple[jnp.ndarray, jnp.ndarray], xp_t: jnp.ndarray):
-            h, c = carry
-            y = gates_ops.tanh(xp_t + jnp.matmul(h, w_hh, precision=precision))
-            sig = 0.5 + 0.5 * y
-            i = sig[:, 0 * h_dim : 1 * h_dim]
-            f = sig[:, 1 * h_dim : 2 * h_dim]
-            g = y[:, 2 * h_dim : 3 * h_dim]
-            o = sig[:, 3 * h_dim : 4 * h_dim]
-            c = f * c + i * g
-            h = o * gates_ops.tanh(c)
-            return (h, c), h
-
-    else:
-
-        def step(carry: Tuple[jnp.ndarray, jnp.ndarray], xp_t: jnp.ndarray):
-            h, c = carry
-            gates = xp_t + jnp.matmul(h, w_hh, precision=precision)
-            # activations over the whole [B, 4H] block, then slice (torch
-            # gate order i,f,g,o): one full-tile VPU pass each beats four
-            # padded quarter-width passes (~6% whole-model, measured)
-            sig = jax.nn.sigmoid(gates)
-            tg = jnp.tanh(gates)
-            i = sig[:, 0 * h_dim : 1 * h_dim]
-            f = sig[:, 1 * h_dim : 2 * h_dim]
-            g = tg[:, 2 * h_dim : 3 * h_dim]
-            o = sig[:, 3 * h_dim : 4 * h_dim]
-            c = f * c + i * g
-            h = o * jnp.tanh(c)
-            return (h, c), h
+    def step(carry: Tuple[jnp.ndarray, jnp.ndarray], xp_t: jnp.ndarray):
+        h, c = carry
+        # whole-block activations, then slice (torch gate order i,f,g,o):
+        # one full-tile VPU pass each beats four padded quarter-width
+        # passes (~6% whole-model, measured)
+        gates = xp_t + jnp.matmul(h, w_hh, precision=precision)
+        i, f, g, o = gates_ops.lstm_gate_block(gates, h_dim, gate_math)
+        c = f * c + i * g
+        h = o * gates_ops.cell_tanh(c, gate_math)
+        return (h, c), h
 
     # derive the zero state from the data (not a fresh constant) so it
     # carries the same shard-varying axes under shard_map

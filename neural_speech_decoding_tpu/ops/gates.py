@@ -67,3 +67,47 @@ def sigmoid(x: jnp.ndarray) -> jnp.ndarray:
     if x.dtype != jnp.float32:
         return jax.nn.sigmoid(x)
     return 0.5 + 0.5 * tanh(0.5 * x)
+
+
+# ---------------------------------------------------------------------------
+# LSTM gate-block evaluation — shared by the lax.scan recurrence
+# (models/lstm.py) and the Pallas kernel (ops/pallas/lstm.py) so the two
+# backends stay provably in sync.
+# ---------------------------------------------------------------------------
+def sigmoid_fold_mask(h_dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[4H] mask that pre-halves the sigmoid gates' columns (i, f, o in
+    torch order; g stays x1). sigmoid(x) = 0.5 + 0.5 * tanh(x/2), so with
+    pre-halved inputs ONE whole-block tanh covers all four gates; x0.5 is a
+    power of two, hence exact, and scaling weights/bias before the matmul
+    rounds identically to scaling its output."""
+    m = jnp.ones((4 * h_dim,), dtype).at[: 2 * h_dim].set(0.5)
+    return m.at[3 * h_dim :].set(0.5)
+
+
+def lstm_gate_block(gates: jnp.ndarray, h_dim: int, gate_math: str):
+    """(i, f, g, o) activations from one pre-activation block [..., 4H]
+    (torch gate order). gate_math="rational" expects the i/f/o columns to
+    have been pre-scaled with sigmoid_fold_mask (weights or activations);
+    "builtin" uses the backend transcendentals on unscaled gates."""
+    if gate_math == "rational":
+        y = tanh(gates)
+        sig = 0.5 + 0.5 * y
+        return (
+            sig[..., 0 * h_dim : 1 * h_dim],
+            sig[..., 1 * h_dim : 2 * h_dim],
+            y[..., 2 * h_dim : 3 * h_dim],
+            sig[..., 3 * h_dim : 4 * h_dim],
+        )
+    sig = jax.nn.sigmoid(gates)
+    tg = jnp.tanh(gates)
+    return (
+        sig[..., 0 * h_dim : 1 * h_dim],
+        sig[..., 1 * h_dim : 2 * h_dim],
+        tg[..., 2 * h_dim : 3 * h_dim],
+        sig[..., 3 * h_dim : 4 * h_dim],
+    )
+
+
+def cell_tanh(x: jnp.ndarray, gate_math: str) -> jnp.ndarray:
+    """tanh for the cell-state output path under the chosen gate_math."""
+    return tanh(x) if gate_math == "rational" else jnp.tanh(x)

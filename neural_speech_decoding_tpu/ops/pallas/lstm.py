@@ -70,41 +70,17 @@ def _lstm_kernel(
 
     w_hh = w_hh_ref[:]
 
-    if gate_math == "rational":
-
-        def step(t, carry):
-            h, c = carry
-            gates = xp_ref[t] + jnp.dot(
-                h, w_hh, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            y = gates_ops.tanh(gates)
-            sig = 0.5 + 0.5 * y
-            i = sig[:, 0 * h_dim : 1 * h_dim]
-            f = sig[:, 1 * h_dim : 2 * h_dim]
-            g = y[:, 2 * h_dim : 3 * h_dim]
-            o = sig[:, 3 * h_dim : 4 * h_dim]
-            c = f * c + i * g
-            h = o * gates_ops.tanh(c)
-            out_ref[t] = h
-            return h, c
-
-    else:
-
-        def step(t, carry):
-            h, c = carry
-            gates = xp_ref[t] + jnp.dot(
-                h, w_hh, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            i = jax.nn.sigmoid(gates[:, 0 * h_dim : 1 * h_dim])
-            f = jax.nn.sigmoid(gates[:, 1 * h_dim : 2 * h_dim])
-            g = jnp.tanh(gates[:, 2 * h_dim : 3 * h_dim])
-            o = jax.nn.sigmoid(gates[:, 3 * h_dim : 4 * h_dim])
-            c = f * c + i * g
-            h = o * jnp.tanh(c)
-            out_ref[t] = h
-            return h, c
+    def step(t, carry):
+        h, c = carry
+        gates = xp_ref[t] + jnp.dot(
+            h, w_hh, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        i, f, g, o = gates_ops.lstm_gate_block(gates, h_dim, gate_math)
+        c = f * c + i * g
+        h = o * gates_ops.cell_tanh(c, gate_math)
+        out_ref[t] = h
+        return h, c
 
     h, c = jax.lax.fori_loop(0, chunk, step, (h_ref[:], c_ref[:]))
     h_ref[:] = h
@@ -139,8 +115,7 @@ def lstm_layer_pallas(
         raise ValueError(f"T={t} not divisible by block_t={block_t}")
 
     if gate_math == "rational":
-        half = jnp.ones((4 * h_dim,), jnp.float32).at[: 2 * h_dim].set(0.5)
-        half = half.at[3 * h_dim :].set(0.5)
+        half = gates_ops.sigmoid_fold_mask(h_dim)
         w_ih = w_ih * half[None, :]
         w_hh = w_hh * half[None, :]
         b = b * half

@@ -13,6 +13,7 @@ nothing to stabilize, so tests run fast).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import List
 
@@ -36,9 +37,9 @@ class Connector:
     ):
         # dispatch on spec-ness, not a concrete class: board objects include
         # duck-typed adapters (e.g. BrainFlowBoard) that are not Board
-        # subclasses
-        if isinstance(board_or_spec, str):
-            self.board = open_board(board_or_spec, num_channels=num_channels)
+        # subclasses; str and path-like values are specs
+        if isinstance(board_or_spec, (str, os.PathLike)):
+            self.board = open_board(str(board_or_spec), num_channels=num_channels)
         else:
             self.board = board_or_spec
         self.num_channels = int(num_channels)

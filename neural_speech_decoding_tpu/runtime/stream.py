@@ -17,6 +17,7 @@ probability-ready.
 from __future__ import annotations
 
 import collections
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional
@@ -62,11 +63,11 @@ class StreamDecoder:
         average_n: int = 10,
     ):
         self.engine = engine
-        # spec strings open a board; anything else is used as-is (includes
-        # duck-typed adapters that are not Board subclasses)
+        # spec strings / paths open a board; anything else is used as-is
+        # (includes duck-typed adapters that are not Board subclasses)
         self.board: Board = (
-            open_board(board_or_spec)
-            if isinstance(board_or_spec, str)
+            open_board(str(board_or_spec))
+            if isinstance(board_or_spec, (str, os.PathLike))
             else board_or_spec
         )
         self.window_seconds = float(window_seconds)

@@ -109,7 +109,14 @@ def main() -> None:
             # val split only for logging — no selection happens on it
             val_fraction=0.05, keep_best=False,
         )
-        params, history = train(ds, train_cfg=train_cfg, model=best["model"])
+        from neural_speech_decoding_tpu.config import FilterConfig
+
+        # same filter rendering the CV scored with (and that inference
+        # serves) — not the f64 fidelity path
+        params, history = train(
+            ds, train_cfg=train_cfg, model=best["model"],
+            filter_cfg=FilterConfig(precision="fast"),
+        )
         save_params_npz(args.train_winner, params)
         print(f"saved {args.train_winner} ({len(history)} epochs)")
 
