@@ -28,5 +28,25 @@ def test_run_crossval_importable():
 
     sig = inspect.signature(run_crossval)
     for param in ("model", "folds", "epochs", "augment", "aug_kinds",
-                  "protocol", "verbose"):
+                  "protocol", "verbose", "seeds"):
         assert param in sig.parameters
+
+
+def test_crossval_seed_ensemble_smoke():
+    """Tiny end-to-end crossval with a 2-seed ensemble: summary carries the
+    ensemble and per-seed numbers, all in [0, 1]."""
+    from crossval import run_crossval
+
+    summary = run_crossval(
+        model="tcn_small", folds=2, epochs=1, augment=0.0,
+        seeds=2, verbose=False,
+    )
+    assert summary["seeds"] == 2
+    assert summary["config"]["seeds"] == 2
+    for proto in ("nested", "last", "biased"):
+        row = summary["by_protocol"][proto]
+        assert len(row["folds"]) == 2
+        assert 0.0 <= row["mean"] <= 1.0
+    ps = summary["per_seed_nested"]
+    assert len(ps["folds"]) == 2
+    assert 0.0 <= ps["mean"] <= 1.0

@@ -17,7 +17,14 @@ Protocols (--protocol, default "nested"):
 All three are computed in one run (training is the expensive part); the
 --protocol flag picks which one is the headline "ours" column.
 
-  python tools/crossval.py --model lstm --folds 5 --epochs 120
+--seeds K (default 1) trains K models per fold (different init /
+augmentation / batch-order seeds) and ensembles them by averaging softmax
+probabilities on the outer fold. Selection stays honest: each member's
+epoch is chosen on the inner split only, so the ensemble never sees the
+eval fold. The per-seed mean is reported alongside so the ensemble lift is
+visible.
+
+  python tools/crossval.py --model tcn --folds 5 --epochs 120 --seeds 5
 """
 
 from __future__ import annotations
@@ -68,6 +75,7 @@ def run_crossval(
     schedule: str = "constant",
     seed: int = 0,
     protocol: str = "nested",
+    seeds: int = 1,
     verbose: bool = True,
 ) -> dict:
     """K-fold CV of one configuration; returns the summary dict (the
@@ -92,6 +100,7 @@ def run_crossval(
 
     fold_indices = stratified_folds(ds.labels, folds, seed)
     ours = {"nested": [], "last": [], "biased": []}
+    seed_means = {"nested": []}  # per-seed mean (no ensembling), for the lift
     theirs = []
     for fold_i, val_idx in enumerate(fold_indices):
         train_idx = np.setdiff1d(np.arange(len(ds)), val_idx)
@@ -104,7 +113,7 @@ def run_crossval(
         inner_val_rel = stratified_folds(ds.labels[train_idx], 6, seed + 100 + fold_i)[0]
         inner_val_idx = train_idx[inner_val_rel]
         inner_train_idx = np.setdiff1d(train_idx, inner_val_idx)
-        x_train, y_train = filtered[inner_train_idx], ds.labels[inner_train_idx]
+        x_base, y_base = filtered[inner_train_idx], ds.labels[inner_train_idx]
         x_ival, y_ival = filtered[inner_val_idx], ds.labels[inner_val_idx]
 
         from neural_speech_decoding_tpu.train.augment import (
@@ -118,54 +127,76 @@ def run_crossval(
             make_train_step,
         )
 
-        if augment > 0:
-            xa, ya = augment_batch_np(
-                x_train, y_train, prob=augment, seed=seed + fold_i,
-                kinds=ALL_KINDS if aug_kinds == "all" else KINDS,
-            )
-            x_train = np.concatenate([x_train, xa])
-            y_train = np.concatenate([y_train, ya])
-
-        cfg = TrainConfig(
-            learning_rate=lr, epochs=epochs, batch_size=32,
-            label_smoothing=label_smoothing, seed=seed + fold_i,
-            schedule=schedule,
-        )
-        optimizer = _optimizer(cfg, max(1, len(x_train) // 32))
-        rng = jax.random.PRNGKey(cfg.seed)
-        rng, k = jax.random.split(rng)
-        params = spec.init(k)
-        opt_state = optimizer.init(params)
-        step_fn = jax.jit(make_train_step(spec, optimizer, cfg.label_smoothing),
-                          donate_argnums=(0, 1))
         eval_fn = jax.jit(make_eval_fn(spec))
+        logits_fn = jax.jit(lambda p, x: spec.apply(p, x, train=False))
 
         def acc_on(p, x, y):
             w = np.ones(len(x), np.float32)
             return float(eval_fn(p, x, y.astype(np.int32), w)["accuracy"])
 
-        np_rng = np.random.default_rng(cfg.seed)
-        best_outer = -1.0  # the biased protocol, for comparison only
-        best_inner = -1.0
-        nested_params = None
-        for epoch in range(cfg.epochs):
-            perm = np_rng.permutation(len(x_train))
-            for i in range(0, len(x_train) - 32 + 1, 32):
-                idx = perm[i : i + 32]
-                rng, k = jax.random.split(rng)
-                params, opt_state, _ = step_fn(
-                    params, opt_state, x_train[idx],
-                    y_train[idx].astype(np.int32), k,
+        def probs_on(p, x):
+            return np.asarray(jax.nn.softmax(logits_fn(p, x), axis=-1))
+
+        def train_member(member_seed: int):
+            """One training run; epoch selection on the inner split only.
+            Returns (nested_params, last_params, biased_outer_acc)."""
+            x_train, y_train = x_base, y_base
+            if augment > 0:
+                xa, ya = augment_batch_np(
+                    x_train, y_train, prob=augment, seed=member_seed,
+                    kinds=ALL_KINDS if aug_kinds == "all" else KINDS,
                 )
-            inner = acc_on(params, x_ival, y_ival)
-            if inner > best_inner:
-                best_inner = inner
-                # step_fn donates params; snapshot to host before the next step
-                nested_params = jax.tree_util.tree_map(np.asarray, params)
-            best_outer = max(best_outer, acc_on(params, x_val, y_val))
-        ours["nested"].append(acc_on(nested_params, x_val, y_val))
-        ours["last"].append(acc_on(params, x_val, y_val))
-        ours["biased"].append(best_outer)
+                x_train = np.concatenate([x_train, xa])
+                y_train = np.concatenate([y_train, ya])
+
+            cfg = TrainConfig(
+                learning_rate=lr, epochs=epochs, batch_size=32,
+                label_smoothing=label_smoothing, seed=member_seed,
+                schedule=schedule,
+            )
+            optimizer = _optimizer(cfg, max(1, len(x_train) // 32))
+            rng = jax.random.PRNGKey(cfg.seed)
+            rng, k = jax.random.split(rng)
+            params = spec.init(k)
+            opt_state = optimizer.init(params)
+            step_fn = jax.jit(
+                make_train_step(spec, optimizer, cfg.label_smoothing),
+                donate_argnums=(0, 1),
+            )
+            np_rng = np.random.default_rng(cfg.seed)
+            best_outer = -1.0  # the biased protocol, for comparison only
+            best_inner = -1.0
+            nested_params = None
+            for _epoch in range(cfg.epochs):
+                perm = np_rng.permutation(len(x_train))
+                for i in range(0, len(x_train) - 32 + 1, 32):
+                    idx = perm[i : i + 32]
+                    rng, k = jax.random.split(rng)
+                    params, opt_state, _ = step_fn(
+                        params, opt_state, x_train[idx],
+                        y_train[idx].astype(np.int32), k,
+                    )
+                inner = acc_on(params, x_ival, y_ival)
+                if inner > best_inner:
+                    best_inner = inner
+                    # step_fn donates params; snapshot to host first
+                    nested_params = jax.tree_util.tree_map(np.asarray, params)
+                best_outer = max(best_outer, acc_on(params, x_val, y_val))
+            last_params = jax.tree_util.tree_map(np.asarray, params)
+            return nested_params, last_params, best_outer
+
+        members = [train_member(seed + fold_i + 9973 * s) for s in range(seeds)]
+        # Ensemble = mean softmax over members. Each member's epoch was
+        # chosen on the inner split, so this never selects on the eval fold.
+        nested_probs = np.mean([probs_on(m[0], x_val) for m in members], axis=0)
+        last_probs = np.mean([probs_on(m[1], x_val) for m in members], axis=0)
+        per_seed_nested = [
+            float((probs_on(m[0], x_val).argmax(1) == y_val).mean()) for m in members
+        ]
+        ours["nested"].append(float((nested_probs.argmax(1) == y_val).mean()))
+        ours["last"].append(float((last_probs.argmax(1) == y_val).mean()))
+        ours["biased"].append(float(np.mean([m[2] for m in members])))
+        seed_means["nested"].append(float(np.mean(per_seed_nested)))
 
         if len(spec.class_names) == 3:
             ref_logits = np.asarray(
@@ -176,8 +207,11 @@ def run_crossval(
             # the reference has no 5-class decoder (it abandoned the task);
             # chance = 20%
             theirs.append(float("nan"))
+        ens = (
+            f" (per-seed {seed_means['nested'][-1]:.3f})" if seeds > 1 else ""
+        )
         log(
-            f"fold {fold_i}: nested {ours['nested'][-1]:.3f} | "
+            f"fold {fold_i}: nested {ours['nested'][-1]:.3f}{ens} | "
             f"last {ours['last'][-1]:.3f} | biased {ours['biased'][-1]:.3f} | "
             f"reference {theirs[-1]:.3f}"
         )
@@ -186,6 +220,12 @@ def run_crossval(
         "model": model,
         "folds": folds,
         "protocol": protocol,
+        "seeds": seeds,
+        "per_seed_nested": {
+            "mean": float(np.mean(seed_means["nested"])),
+            "std": float(np.std(seed_means["nested"])),
+            "folds": seed_means["nested"],
+        },
         "ours_mean": float(np.mean(ours[protocol])),
         "ours_std": float(np.std(ours[protocol])),
         "reference_mean": float(np.nanmean(theirs)),
@@ -198,14 +238,17 @@ def run_crossval(
         "config": {
             "epochs": epochs, "augment": augment, "aug_kinds": aug_kinds,
             "label_smoothing": label_smoothing, "lr": lr,
-            "schedule": schedule, "seed": seed,
+            "schedule": schedule, "seed": seed, "seeds": seeds,
         },
     }
-    log(f"\n{model} {folds}-fold:")
+    log(f"\n{model} {folds}-fold" + (f", {seeds}-seed ensemble" if seeds > 1 else "") + ":")
     for name in ("nested", "last", "biased"):
         row = summary["by_protocol"][name]
         tag = " (headline)" if name == protocol else ""
         log(f"  {name:7s} {row['mean']:.3f} ± {row['std']:.3f}{tag}")
+    if seeds > 1:
+        ps = summary["per_seed_nested"]
+        log(f"  per-seed nested (no ensemble) {ps['mean']:.3f} ± {ps['std']:.3f}")
     log(
         f"  reference checkpoint {summary['reference_mean']:.3f} "
         f"± {summary['reference_std']:.3f}"
@@ -227,6 +270,7 @@ def main() -> None:
     ap.add_argument(
         "--protocol", default="nested", choices=("nested", "last", "biased")
     )
+    ap.add_argument("--seeds", type=int, default=1)
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -235,6 +279,7 @@ def main() -> None:
         augment=args.augment, aug_kinds=args.aug_kinds,
         label_smoothing=args.label_smoothing, lr=args.lr,
         schedule=args.schedule, seed=args.seed, protocol=args.protocol,
+        seeds=args.seeds,
     )
     if args.json:
         Path(args.json).write_text(json.dumps(summary, indent=2))
