@@ -74,6 +74,14 @@ class DecoderConfig:
     # TPU builtin tanh is ~1350 ulp off, which compounds to ~2e-3 logit
     # error over 625 steps (ops/gates.py). "builtin" keeps the backend's.
     gate_math: str = "rational"
+    # Eval-path pipelined fusion of the two LSTM layers into one scan step
+    # (models/lstm.py:_lstm_two_layer_fused): one [B,2H]x[2H,8H] matmul per
+    # timestep instead of two [B,H]x[H,4H], riding the same K=128 MXU tile.
+    # Measured on-chip: ~113-115k vs ~105-111k windows/s f32 (B=16384), max
+    # logit delta vs torch golden 3.7e-5 (same as per-layer), 100% argmax.
+    # Training always runs per-layer (inter-layer dropout needs the
+    # boundary); False restores the per-layer eval scan.
+    fused_scan: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

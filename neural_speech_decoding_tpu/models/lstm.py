@@ -12,7 +12,10 @@ Behavioral spec (reference: Neuro-Alpha-App/Utilities/lstm_eeg_model.py:13-39):
 TPU mapping: the input projection of every LSTM layer is hoisted out of the
 recurrence into ONE [B*T, in] x [in, 4H] matmul (MXU-friendly, amortized
 over the whole sequence); the `lax.scan` body then only carries the small
-[B, H] x [H, 4H] recurrent matmul plus fused elementwise gate math. No
+[B, H] x [H, 4H] recurrent matmul plus fused elementwise gate math. At eval
+time the two layers are software-pipelined into a single scan
+(_lstm_two_layer_fused; DecoderConfig.fused_scan) — one [B, 2H] x [2H, 8H]
+matmul per timestep instead of two, riding the same K=128 MXU tile. No
 Python-level time loop, static shapes throughout, batch axis is the
 sharding axis for data parallelism.
 
@@ -145,6 +148,95 @@ def _lstm_layer(
     return jnp.transpose(hs, (1, 0, 2)).astype(jnp.float32)  # [B, T, H]
 
 
+def _lstm_two_layer_fused(
+    layers,
+    x_btc: jnp.ndarray,
+    precision,
+    recurrence_dtype=jnp.float32,
+    gate_math: str = "rational",
+) -> jnp.ndarray:
+    """Both LSTM layers in ONE pipelined scan. [B, T, C] -> [B, T, H].
+
+    The per-layer scan issues two sequential [B, H] x [H, 4H] matmuls per
+    timestep (H=48, so each pads to a K=128 MXU tile it mostly wastes).
+    Software pipelining with a one-step delay — at combined step s, layer 1
+    consumes x_s while layer 2 consumes layer 1's output from step s-1,
+    which is already in the carry — fuses them into a single
+    [B, 2H] x [2H, 8H] matmul: the K dimension rides the same 128 tile,
+    and the scan body runs once per timestep instead of twice.
+
+        gates_s = [xp1_s | b2] + [h1_{s-1}, h2_prev] @ [[W_hh1, W_ih2],
+                                                        [    0, W_hh2]]
+
+    Layer 2's input projection therefore happens inside the fused matmul
+    (same contraction, single K=96 dot instead of two K=48 dots — rounding
+    differs by ~1 ulp). The scan runs T+1 steps; layer 2's update is masked
+    at s=0 (it has no input yet) and its outputs are taken from steps 1..T.
+    Eval-path only: training needs inter-layer dropout between the layers.
+    """
+    l1, l2 = layers
+    b, t, _ = x_btc.shape
+    h_dim = l1["w_hh"].shape[0]
+
+    xp1 = (
+        jnp.einsum("bti,ih->bth", x_btc, l1["w_ih"], precision=precision)
+        + l1["b"]
+    ).astype(recurrence_dtype)
+    xp1_tbh = jnp.transpose(xp1, (1, 0, 2))  # [T, B, 4H]
+    # one trailing zero step so layer 2 can drain the pipeline
+    xp1_tbh = jnp.concatenate(
+        [xp1_tbh, jnp.zeros((1, b, 4 * h_dim), recurrence_dtype)], axis=0
+    )
+    b2 = l2["b"].astype(recurrence_dtype)
+
+    w = jnp.concatenate(
+        [
+            jnp.concatenate([l1["w_hh"], l2["w_ih"]], axis=1),
+            jnp.concatenate(
+                [jnp.zeros((h_dim, 4 * h_dim), l2["w_hh"].dtype), l2["w_hh"]],
+                axis=1,
+            ),
+        ],
+        axis=0,
+    ).astype(recurrence_dtype)  # [2H, 8H]
+
+    if gate_math == "rational":
+        half_sig = gates_ops.sigmoid_fold_mask(h_dim, recurrence_dtype)
+        w = w * jnp.concatenate([half_sig, half_sig])[None, :]
+        xp1_tbh = xp1_tbh * half_sig
+        b2 = b2 * half_sig
+
+    # layer 2 has nothing to consume at combined step 0
+    live2 = jnp.arange(t + 1) >= 1
+
+    def step(carry, inp):
+        h1, c1, h2, c2 = carry
+        xp1_t, v2 = inp
+        hh = jnp.matmul(
+            jnp.concatenate([h1, h2], axis=-1), w, precision=precision
+        )
+        i1, f1, g1, o1 = gates_ops.lstm_gate_block(
+            hh[:, : 4 * h_dim] + xp1_t, h_dim, gate_math
+        )
+        c1_new = f1 * c1 + i1 * g1
+        h1_new = o1 * gates_ops.cell_tanh(c1_new, gate_math)
+        i2, f2, g2, o2 = gates_ops.lstm_gate_block(
+            hh[:, 4 * h_dim :] + b2, h_dim, gate_math
+        )
+        c2_new = jnp.where(v2, f2 * c2 + i2 * g2, c2)
+        h2_new = jnp.where(
+            v2, o2 * gates_ops.cell_tanh(c2_new, gate_math), h2
+        )
+        return (h1_new, c1_new, h2_new, c2_new), h2_new
+
+    zero = (
+        jnp.zeros((b, h_dim), recurrence_dtype)
+        + (x_btc[:, :1, 0] * 0.0).astype(recurrence_dtype)
+    )
+    _, hs = jax.lax.scan(step, (zero, zero, zero, zero), (xp1_tbh, live2))
+    return jnp.transpose(hs[1:], (1, 0, 2)).astype(jnp.float32)  # [B, T, H]
+
+
 def _rrelu(
     x: jnp.ndarray,
     config: DecoderConfig,
@@ -181,6 +273,11 @@ def decoder_apply(
 
     rec_dtype = jnp.dtype(config.recurrence_dtype)
     out = x
+    if not train and config.fused_scan and len(params["lstm"]) == 2:
+        out = _lstm_two_layer_fused(
+            params["lstm"], out, precision, rec_dtype, config.gate_math
+        )
+        return _head(params, out, config, train, rngs, precision)
     for l, layer in enumerate(params["lstm"]):
         out = _lstm_layer(layer, out, precision, rec_dtype, config.gate_math)
         if train and config.dropout > 0 and l < n_layers - 1:
@@ -189,7 +286,11 @@ def decoder_apply(
             keep = 1.0 - config.dropout
             mask = jax.random.bernoulli(rngs[l], keep, out.shape)
             out = jnp.where(mask, out / keep, 0.0)
+    return _head(params, out, config, train, rngs, precision)
 
+
+def _head(params, out, config, train, rngs, precision):
+    """Attention pooling + LayerNorm + MLP head. [B, T, H] -> [B, classes]."""
     # Attention pooling over time.
     scores = jnp.einsum("bth,h->bt", out, params["attn"]["w"], precision=precision)
     scores = scores + params["attn"]["b"]

@@ -43,6 +43,24 @@ def test_single_window_matches_batch(params, dataset):
     np.testing.assert_allclose(one, batch[1], rtol=1e-5, atol=1e-6)
 
 
+def test_fused_two_layer_scan_matches_per_layer(params, dataset):
+    """The pipelined fused-step recurrence (DecoderConfig.fused_scan) is the
+    same math as the per-layer scan up to summation-order rounding."""
+    import dataclasses
+
+    filtered = np.asarray(mai_filter_batch(dataset.windows[:8], FilterConfig()))
+    for gate_math in ("rational", "builtin"):
+        base_cfg = DecoderConfig(gate_math=gate_math)
+        fused_cfg = dataclasses.replace(base_cfg, fused_scan=True)
+        base = np.asarray(
+            jax.jit(lambda x: decoder_logits(params, x, base_cfg))(filtered)
+        )
+        fused = np.asarray(
+            jax.jit(lambda x: decoder_logits(params, x, fused_cfg))(filtered)
+        )
+        np.testing.assert_allclose(fused, base, rtol=1e-4, atol=1e-5)
+
+
 def test_random_init_forward_shape():
     cfg = DecoderConfig()
     from neural_speech_decoding_tpu.models.lstm import init_decoder_params
