@@ -1,0 +1,138 @@
+"""Ensemble inference: K same-family checkpoints decoded in one pass.
+
+The accuracy flagship (docs/BENCHMARKS.md) is a seed ensemble: K models
+trained from different seeds whose softmax probabilities are averaged
+(tools/crossval.py --seeds). This engine is its deployment counterpart.
+The reference has no ensemble machinery (its SimplePredictor holds exactly
+one checkpoint, lstm_eeg_model.py:42-101); this is a parity-plus surface
+with the same predict contract.
+
+TPU mapping: member parameters are STACKED into one pytree (leading axis =
+member) and the decoder is `jax.vmap`-ed over that axis, so the whole
+ensemble is still ONE jitted executable — the Kuramoto filter runs once
+per window (it is model-independent), the K decoder evaluations batch
+their matmuls on the MXU, and the mean-softmax reduction happens on
+device. No Python loop over members at decode time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_speech_decoding_tpu.config import PipelineConfig
+from neural_speech_decoding_tpu.models.lstm import decoder_apply
+from neural_speech_decoding_tpu.ops.kuramoto import mai_filter
+from neural_speech_decoding_tpu.runtime.engine import _bucket
+
+
+def _load(path: str):
+    if str(path).endswith(".npz"):
+        from neural_speech_decoding_tpu.io.params_io import load_params_npz
+
+        return load_params_npz(path)
+    from neural_speech_decoding_tpu.io.checkpoint import load_decoder_params
+
+    return load_decoder_params(path)
+
+
+def stack_params(members: Sequence) -> object:
+    """Stack K structurally-identical param pytrees along a new leading
+    axis. Raises if the members disagree in structure or leaf shapes."""
+    if not members:
+        raise ValueError("need at least one ensemble member")
+    treedefs = {str(jax.tree_util.tree_structure(m)) for m in members}
+    if len(treedefs) != 1:
+        raise ValueError(f"ensemble members differ in structure: {treedefs}")
+    shapes = [
+        tuple(np.shape(leaf) for leaf in jax.tree_util.tree_leaves(m))
+        for m in members
+    ]
+    if len(set(shapes)) != 1:
+        raise ValueError("ensemble members differ in leaf shapes")
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
+
+
+class EnsembleEngine:
+    """Same predict surface as InferenceEngine, over K checkpoints.
+
+    `model_paths` may mix .npz (native pytrees) and .pth (reference
+    format, LSTM families only) as long as every member is the same model
+    family with identical shapes.
+    """
+
+    def __init__(
+        self,
+        model_paths: Optional[Sequence[str]] = None,
+        *,
+        params_list: Optional[Sequence] = None,
+        model: str = "lstm",
+        config: Optional[PipelineConfig] = None,
+        class_names: Optional[Sequence[str]] = None,
+        turbo: bool = False,
+    ):
+        from neural_speech_decoding_tpu.models.registry import get_model
+
+        if params_list is None:
+            if not model_paths:
+                raise ValueError("need model_paths or params_list")
+            params_list = [_load(p) for p in model_paths]
+        spec = get_model(model)
+        config = config or PipelineConfig(
+            class_names=spec.class_names,
+            decoder=spec.config
+            if model.startswith("lstm")
+            else PipelineConfig().decoder,
+        )
+        self.config = config
+        self.class_names = tuple(class_names or config.class_names)
+        self.num_members = len(params_list)
+        self.params = jax.device_put(stack_params(params_list))
+
+        filter_cfg = config.filter
+        decoder_cfg = config.decoder
+        if turbo:
+            decoder_cfg = dataclasses.replace(
+                decoder_cfg, recurrence_dtype="bfloat16"
+            )
+        if model.startswith("lstm"):
+            apply_fn = lambda p, x: decoder_apply(p, x, decoder_cfg, train=False)  # noqa: E731
+        else:
+            apply_fn = lambda p, x: spec.apply(p, x, train=False)  # noqa: E731
+
+        def _pipeline(stacked, windows_btc: jnp.ndarray) -> jnp.ndarray:
+            filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
+            logits = jax.vmap(apply_fn, in_axes=(0, None))(stacked, filtered)
+            return jnp.mean(jax.nn.softmax(logits, axis=-1), axis=0)
+
+        self._pipeline = jax.jit(_pipeline)
+
+    # -- public API (InferenceEngine contract) ---------------------------
+    def warmup(self, batch_sizes: Sequence[int] = (1,)) -> None:
+        t, c = self.config.window_samples, self.config.num_channels
+        for b in batch_sizes:
+            dummy = jnp.zeros((_bucket(b), t, c), jnp.float32)
+            np.asarray(self._pipeline(self.params, dummy))
+
+    def predict_batch(self, windows_btc: np.ndarray) -> np.ndarray:
+        """[B, T, C] -> ensemble-mean probabilities [B, num_classes]."""
+        windows_btc = np.asarray(windows_btc, dtype=np.float32)
+        b = windows_btc.shape[0]
+        if b == 0:
+            return np.zeros((0, len(self.class_names)), np.float32)
+        bb = _bucket(b)
+        if bb != b:
+            pad = np.zeros((bb - b,) + windows_btc.shape[1:], np.float32)
+            windows_btc = np.concatenate([windows_btc, pad], axis=0)
+        return np.asarray(self._pipeline(self.params, windows_btc))[:b]
+
+    def predict(self, window_tc: np.ndarray) -> Tuple[np.ndarray, str]:
+        probs = self.predict_batch(window_tc[None])[0]
+        return probs.astype(np.float32), self.class_names[int(np.argmax(probs))]
+
+    def predict_batch_async(self, windows_btc: jnp.ndarray):
+        return self._pipeline(self.params, windows_btc)

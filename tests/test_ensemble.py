@@ -1,0 +1,74 @@
+"""EnsembleEngine: stacked-params vmapped decode + mean-softmax contract."""
+
+import jax
+import numpy as np
+import pytest
+
+from neural_speech_decoding_tpu.io.params_io import save_params_npz
+from neural_speech_decoding_tpu.models.registry import get_model
+from neural_speech_decoding_tpu.runtime.engine import InferenceEngine
+from neural_speech_decoding_tpu.runtime.ensemble import EnsembleEngine, stack_params
+
+
+@pytest.fixture(scope="module")
+def member_paths(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ensemble")
+    spec = get_model("tcn_small")
+    paths = []
+    for s in range(3):
+        params = spec.init(jax.random.PRNGKey(s))
+        p = tmp / f"member{s}.npz"
+        save_params_npz(p, params)
+        paths.append(str(p))
+    return paths
+
+
+def test_ensemble_is_mean_of_members(member_paths, dataset):
+    windows = dataset.windows[:4]
+    ens = EnsembleEngine(member_paths, model="tcn_small")
+    ens_probs = ens.predict_batch(windows)
+    member_probs = [
+        InferenceEngine(p, model="tcn_small").predict_batch(windows)
+        for p in member_paths
+    ]
+    np.testing.assert_allclose(
+        ens_probs, np.mean(member_probs, axis=0), atol=1e-6
+    )
+    assert ens.num_members == 3
+    np.testing.assert_allclose(ens_probs.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_ensemble_predict_contract(member_paths, dataset):
+    ens = EnsembleEngine(member_paths, model="tcn_small")
+    probs, label = ens.predict(dataset.windows[0])
+    assert probs.dtype == np.float32
+    assert probs.shape == (len(ens.class_names),)
+    assert label in ens.class_names
+
+
+def test_singleton_pth_ensemble_matches_engine(checkpoint_path, dataset):
+    """An ensemble of one reference .pth decodes exactly like the plain
+    engine (same pipeline up to the trivial mean)."""
+    windows = dataset.windows[:4]
+    ens = EnsembleEngine([str(checkpoint_path)], model="lstm")
+    eng = InferenceEngine(str(checkpoint_path))
+    np.testing.assert_allclose(
+        ens.predict_batch(windows), eng.predict_batch(windows), atol=1e-6
+    )
+
+
+def test_stack_params_rejects_mismatch():
+    spec_a = get_model("tcn_small")
+    spec_b = get_model("tcn_wide")
+    a = spec_a.init(jax.random.PRNGKey(0))
+    b = spec_b.init(jax.random.PRNGKey(1))
+    with pytest.raises(ValueError):
+        stack_params([a, b])
+    with pytest.raises(ValueError):
+        stack_params([])
+
+
+def test_empty_batch(member_paths):
+    ens = EnsembleEngine(member_paths, model="tcn_small")
+    out = ens.predict_batch(np.zeros((0, 625, 8), np.float32))
+    assert out.shape == (0, len(ens.class_names))
