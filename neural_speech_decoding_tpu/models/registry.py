@@ -22,6 +22,7 @@ from neural_speech_decoding_tpu.config import (
     THREE_CLASS_NAMES,
 )
 from neural_speech_decoding_tpu.models import eegnet as _eegnet
+from neural_speech_decoding_tpu.models import logcov as _logcov
 from neural_speech_decoding_tpu.models import lstm as _lstm
 from neural_speech_decoding_tpu.models import tcn as _tcn
 from neural_speech_decoding_tpu.models import transformer as _transformer
@@ -88,6 +89,19 @@ def _transformer_spec(name: str, num_classes: int, class_names) -> "ModelSpec":
     )
 
 
+def _logcov_spec(name: str, num_classes: int, class_names) -> "ModelSpec":
+    cfg = _logcov.LogCovConfig(num_classes=num_classes)
+    return ModelSpec(
+        name=name,
+        config=cfg,
+        class_names=tuple(class_names),
+        init=lambda rng: _logcov.init_logcov_params(rng, cfg),
+        apply=lambda p, x, *, train=False, rng=None: _logcov.logcov_apply(
+            p, x, cfg, train=train, rng=rng
+        ),
+    )
+
+
 _BUILDERS: Dict[str, Callable[[], ModelSpec]] = {
     "lstm": lambda: _lstm_spec("lstm", 3, THREE_CLASS_NAMES),
     "lstm5": lambda: _lstm_spec("lstm5", 5, FIVE_CLASS_NAMES),
@@ -105,6 +119,10 @@ _BUILDERS: Dict[str, Callable[[], ModelSpec]] = {
     "tcn_wide": lambda: _tcn_spec(
         "tcn_wide", 3, THREE_CLASS_NAMES, width=64, dropout=0.4
     ),
+    # filter-bank log-covariance (tangent-space) family — the classical
+    # small-sample EEG approach, models/logcov.py
+    "logcov": lambda: _logcov_spec("logcov", 3, THREE_CLASS_NAMES),
+    "logcov5": lambda: _logcov_spec("logcov5", 5, FIVE_CLASS_NAMES),
 }
 
 

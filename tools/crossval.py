@@ -272,7 +272,14 @@ def main() -> None:
     )
     ap.add_argument("--seeds", type=int, default=1)
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--platform", default=None,
+        help="jax platform override (e.g. cpu — lets cheap-family CV run "
+             "off-chip while the TPU is busy)",
+    )
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     summary = run_crossval(
         model=args.model, folds=args.folds, epochs=args.epochs,
