@@ -85,7 +85,14 @@ def run_crossval(
         if verbose:
             print(msg, flush=True)
 
-    spec_probe = get_model(model)
+    # "tcn+logcov" cross-validates a cross-family ensemble: `seeds` members
+    # per family, all probabilities averaged (families with different
+    # inductive biases give the diversity seed ensembles of one family lack)
+    families = [f.strip() for f in model.split("+") if f.strip()]
+    specs = {name: get_model(name) for name in families}
+    if len({len(s.class_names) for s in specs.values()}) != 1:
+        raise ValueError(f"ensemble families disagree on classes: {families}")
+    spec_probe = specs[families[0]]
     if len(spec_probe.class_names) == 5:
         from neural_speech_decoding_tpu.config import FIVE_CLASS_PREFIXES
 
@@ -94,7 +101,6 @@ def run_crossval(
         ds = load_trials()
     fcfg = FilterConfig(precision="fast")
     filtered = np.asarray(mai_filter_batch(ds.windows, fcfg))
-    spec = get_model(model)
     ref = load_decoder_params(REFERENCE_CKPT)
     lstm_spec = get_model("lstm")
 
@@ -127,17 +133,20 @@ def run_crossval(
             make_train_step,
         )
 
-        eval_fn = jax.jit(make_eval_fn(spec))
-        logits_fn = jax.jit(lambda p, x: spec.apply(p, x, train=False))
+        eval_fns = {n: jax.jit(make_eval_fn(s)) for n, s in specs.items()}
+        logits_fns = {
+            n: jax.jit(lambda p, x, s=s: s.apply(p, x, train=False))
+            for n, s in specs.items()
+        }
 
-        def acc_on(p, x, y):
+        def acc_on(family, p, x, y):
             w = np.ones(len(x), np.float32)
-            return float(eval_fn(p, x, y.astype(np.int32), w)["accuracy"])
+            return float(eval_fns[family](p, x, y.astype(np.int32), w)["accuracy"])
 
-        def probs_on(p, x):
-            return np.asarray(jax.nn.softmax(logits_fn(p, x), axis=-1))
+        def probs_on(family, p, x):
+            return np.asarray(jax.nn.softmax(logits_fns[family](p, x), axis=-1))
 
-        def train_member(member_seed: int):
+        def train_member(family: str, member_seed: int):
             """One training run; epoch selection on the inner split only.
             Returns (nested_params, last_params, biased_outer_acc)."""
             x_train, y_train = x_base, y_base
@@ -154,6 +163,7 @@ def run_crossval(
                 label_smoothing=label_smoothing, seed=member_seed,
                 schedule=schedule,
             )
+            spec = specs[family]
             optimizer = _optimizer(cfg, max(1, len(x_train) // 32))
             rng = jax.random.PRNGKey(cfg.seed)
             rng, k = jax.random.split(rng)
@@ -176,29 +186,38 @@ def run_crossval(
                         params, opt_state, x_train[idx],
                         y_train[idx].astype(np.int32), k,
                     )
-                inner = acc_on(params, x_ival, y_ival)
+                inner = acc_on(family, params, x_ival, y_ival)
                 if inner > best_inner:
                     best_inner = inner
                     # step_fn donates params; snapshot to host first
                     nested_params = jax.tree_util.tree_map(np.asarray, params)
-                best_outer = max(best_outer, acc_on(params, x_val, y_val))
+                best_outer = max(best_outer, acc_on(family, params, x_val, y_val))
             last_params = jax.tree_util.tree_map(np.asarray, params)
-            return nested_params, last_params, best_outer
+            return family, nested_params, last_params, best_outer
 
-        members = [train_member(seed + fold_i + 9973 * s) for s in range(seeds)]
+        members = [
+            train_member(fam, seed + fold_i + 9973 * s)
+            for fam in families
+            for s in range(seeds)
+        ]
         # Ensemble = mean softmax over members. Each member's epoch was
         # chosen on the inner split, so this never selects on the eval fold.
-        nested_probs = np.mean([probs_on(m[0], x_val) for m in members], axis=0)
-        last_probs = np.mean([probs_on(m[1], x_val) for m in members], axis=0)
+        nested_probs = np.mean(
+            [probs_on(m[0], m[1], x_val) for m in members], axis=0
+        )
+        last_probs = np.mean(
+            [probs_on(m[0], m[2], x_val) for m in members], axis=0
+        )
         per_seed_nested = [
-            float((probs_on(m[0], x_val).argmax(1) == y_val).mean()) for m in members
+            float((probs_on(m[0], m[1], x_val).argmax(1) == y_val).mean())
+            for m in members
         ]
         ours["nested"].append(float((nested_probs.argmax(1) == y_val).mean()))
         ours["last"].append(float((last_probs.argmax(1) == y_val).mean()))
-        ours["biased"].append(float(np.mean([m[2] for m in members])))
+        ours["biased"].append(float(np.mean([m[3] for m in members])))
         seed_means["nested"].append(float(np.mean(per_seed_nested)))
 
-        if len(spec.class_names) == 3:
+        if len(spec_probe.class_names) == 3:
             ref_logits = np.asarray(
                 jax.jit(lambda p, w: lstm_spec.apply(p, w, train=False))(ref, x_val)
             )
@@ -208,7 +227,9 @@ def run_crossval(
             # chance = 20%
             theirs.append(float("nan"))
         ens = (
-            f" (per-seed {seed_means['nested'][-1]:.3f})" if seeds > 1 else ""
+            f" (per-seed {seed_means['nested'][-1]:.3f})"
+            if len(members) > 1
+            else ""
         )
         log(
             f"fold {fold_i}: nested {ours['nested'][-1]:.3f}{ens} | "
@@ -241,14 +262,19 @@ def run_crossval(
             "schedule": schedule, "seed": seed, "seeds": seeds,
         },
     }
-    log(f"\n{model} {folds}-fold" + (f", {seeds}-seed ensemble" if seeds > 1 else "") + ":")
+    n_members = len(families) * seeds
+    log(
+        f"\n{model} {folds}-fold"
+        + (f", {n_members}-member ensemble" if n_members > 1 else "")
+        + ":"
+    )
     for name in ("nested", "last", "biased"):
         row = summary["by_protocol"][name]
         tag = " (headline)" if name == protocol else ""
         log(f"  {name:7s} {row['mean']:.3f} ± {row['std']:.3f}{tag}")
-    if seeds > 1:
+    if n_members > 1:
         ps = summary["per_seed_nested"]
-        log(f"  per-seed nested (no ensemble) {ps['mean']:.3f} ± {ps['std']:.3f}")
+        log(f"  per-member nested (no ensemble) {ps['mean']:.3f} ± {ps['std']:.3f}")
     log(
         f"  reference checkpoint {summary['reference_mean']:.3f} "
         f"± {summary['reference_std']:.3f}"
