@@ -25,10 +25,12 @@ Input [B, T, C] -> logits [B, num_classes].
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 Params = Dict[str, Any]
 
@@ -51,6 +53,11 @@ class LogCovConfig:
     shrinkage: float = 0.05
     dropout: float = 0.2
     ln_eps: float = 1e-5
+    # band-power extraction: "fft" (rfft + masked einsum) or "matmul" (ONE
+    # stacked [2*bins, T] cos/sin projection matmul — the same dense-operator
+    # trick as the matmul Hilbert; odd-length FFTs are slow on TPU).
+    # Numerically identical to ~1e-6; see tests/test_models.py.
+    spectral: str = "fft"
 
 
 def _num_features(cfg: LogCovConfig) -> int:
@@ -74,21 +81,57 @@ def init_logcov_params(rng: jax.Array, cfg: LogCovConfig) -> Params:
     }
 
 
+@functools.lru_cache(maxsize=8)
+def _band_projector(t: int, cfg: LogCovConfig):
+    """[sum_k 2*bins_k, T] stacked cos/sin DFT rows (f64-built, f32-cast)
+    plus each band's row slice. X_f = cos_row . x - i sin_row . x, so
+    sum_{f in band} Re(X_a conj(X_b)) = (P x_a) . (P x_b) over that band's
+    cos AND sin rows — the whole filter bank is one dense matmul."""
+    freqs = _np.fft.rfftfreq(t, d=1.0 / cfg.sample_rate)
+    tt = _np.arange(t)
+    rows, slices, start = [], [], 0
+    for lo, hi in cfg.bands:
+        bins = _np.flatnonzero((freqs >= lo) & (freqs < hi))
+        ang = 2.0 * _np.pi * _np.outer(bins, tt) / t
+        rows.append(_np.cos(ang))
+        rows.append(_np.sin(ang))
+        slices.append(slice(start, start + 2 * len(bins)))
+        start += 2 * len(bins)
+    return _np.concatenate(rows).astype(_np.float32), tuple(slices)
+
+
 def band_covariances(x_btc: jnp.ndarray, cfg: LogCovConfig) -> jnp.ndarray:
     """[B, T, C] -> per-band spatial covariances [B, n_bands, C, C]."""
     t = x_btc.shape[1]
     x = x_btc - jnp.mean(x_btc, axis=1, keepdims=True)
-    xf = jnp.fft.rfft(x, axis=1)  # [B, F, C] complex
-    freqs = jnp.fft.rfftfreq(t, d=1.0 / cfg.sample_rate)  # [F]
-    covs = []
-    for lo, hi in cfg.bands:
-        m = ((freqs >= lo) & (freqs < hi)).astype(jnp.float32)
-        # Parseval: cov over time of the band-limited signal, without ever
-        # synthesizing it. rfft halves the spectrum -> x2 (DC is masked out
-        # by lo >= 3 Hz; odd T has no Nyquist bin).
-        xm = xf * m[None, :, None]
-        s = jnp.einsum("bfc,bfd->bcd", xm, jnp.conj(xf)).real * (2.0 / (t * t))
-        covs.append(s)
+    if cfg.spectral == "matmul":
+        proj, slices = _band_projector(t, cfg)
+        y = jnp.einsum(
+            "rt,btc->brc", jnp.asarray(proj), x,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        covs = [
+            jnp.einsum(
+                "brc,brd->bcd", y[:, sl], y[:, sl],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            * (2.0 / (t * t))
+            for sl in slices
+        ]
+    elif cfg.spectral == "fft":
+        xf = jnp.fft.rfft(x, axis=1)  # [B, F, C] complex
+        freqs = jnp.fft.rfftfreq(t, d=1.0 / cfg.sample_rate)  # [F]
+        covs = []
+        for lo, hi in cfg.bands:
+            m = ((freqs >= lo) & (freqs < hi)).astype(jnp.float32)
+            # Parseval: cov over time of the band-limited signal, without
+            # ever synthesizing it. rfft halves the spectrum -> x2 (DC is
+            # masked out by lo >= 3 Hz; odd T has no Nyquist bin).
+            xm = xf * m[None, :, None]
+            s = jnp.einsum("bfc,bfd->bcd", xm, jnp.conj(xf)).real * (2.0 / (t * t))
+            covs.append(s)
+    else:
+        raise ValueError(f"unknown spectral method {cfg.spectral!r}")
     s = jnp.stack(covs, axis=1)  # [B, nb, C, C]
     s = 0.5 * (s + jnp.swapaxes(s, -1, -2))  # enforce exact symmetry
     c = cfg.num_channels

@@ -14,6 +14,39 @@ def windows():
     return rng.standard_normal((4, 625, 8)).astype(np.float32)
 
 
+def test_logcov_spectral_paths_agree(windows):
+    """The stacked cos/sin band-projection matmul computes the same band
+    covariances (and features) as the rfft + Parseval path."""
+    from neural_speech_decoding_tpu.models.logcov import (
+        LogCovConfig,
+        band_covariances,
+        logcov_features,
+    )
+
+    cfg_f = LogCovConfig(spectral="fft")
+    cfg_m = LogCovConfig(spectral="matmul")
+    a = np.asarray(band_covariances(windows, cfg_f))
+    b = np.asarray(band_covariances(windows, cfg_m))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    fa = np.asarray(logcov_features(windows, cfg_f))
+    fb = np.asarray(logcov_features(windows, cfg_m))
+    np.testing.assert_allclose(fa, fb, atol=1e-4)
+
+
+def test_logcov_band_cov_is_parseval_cov(windows):
+    """Full-support band covariance == time-domain covariance (Parseval)."""
+    from neural_speech_decoding_tpu.models.logcov import (
+        LogCovConfig,
+        band_covariances,
+    )
+
+    cfg = LogCovConfig(bands=((0.0, 63.0),), shrinkage=0.0)
+    s = np.asarray(band_covariances(windows, cfg))[:, 0]
+    for i, w in enumerate(windows):
+        xc = w - w.mean(0)
+        np.testing.assert_allclose(s[i], (xc.T @ xc) / w.shape[0], atol=1e-5)
+
+
 @pytest.mark.parametrize("name", ["lstm", "lstm5", "eegnet", "transformer", "tcn"])
 def test_model_forward_shapes(name, windows):
     spec = get_model(name)
