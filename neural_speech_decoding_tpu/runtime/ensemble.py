@@ -111,6 +111,22 @@ class EnsembleEngine:
 
         self._pipeline = jax.jit(_pipeline)
 
+    @classmethod
+    def from_manifest(cls, manifest_path: str, **kw) -> "EnsembleEngine":
+        """Build from a tools/fit_ensemble.py manifest JSON (member paths
+        are resolved relative to the manifest's directory)."""
+        import json
+        from pathlib import Path
+
+        mpath = Path(manifest_path)
+        manifest = json.loads(mpath.read_text())
+        members = [
+            p if Path(p).is_absolute() else str((mpath.parent / Path(p).name))
+            for p in manifest["members"]
+        ]
+        kw.setdefault("model", manifest.get("model", "lstm"))
+        return cls(members, **kw)
+
     # -- public API (InferenceEngine contract) ---------------------------
     def warmup(self, batch_sizes: Sequence[int] = (1,)) -> None:
         t, c = self.config.window_samples, self.config.num_channels

@@ -68,6 +68,28 @@ def test_stack_params_rejects_mismatch():
         stack_params([])
 
 
+def test_from_manifest(member_paths, dataset, tmp_path):
+    import json
+    from pathlib import Path
+
+    manifest = tmp_path / "ens_manifest.json"
+    # member files live elsewhere; from_manifest resolves by name relative
+    # to the manifest dir, so copy them next to it
+    for p in member_paths:
+        (tmp_path / Path(p).name).write_bytes(Path(p).read_bytes())
+    manifest.write_text(
+        json.dumps({"model": "tcn_small", "members": [Path(p).name for p in member_paths]})
+    )
+    from neural_speech_decoding_tpu.runtime.ensemble import EnsembleEngine
+
+    ens = EnsembleEngine.from_manifest(str(manifest))
+    direct = EnsembleEngine(member_paths, model="tcn_small")
+    w = dataset.windows[:2]
+    np.testing.assert_allclose(
+        ens.predict_batch(w), direct.predict_batch(w), atol=1e-6
+    )
+
+
 def test_empty_batch(member_paths):
     ens = EnsembleEngine(member_paths, model="tcn_small")
     out = ens.predict_batch(np.zeros((0, 625, 8), np.float32))
