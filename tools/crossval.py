@@ -108,6 +108,7 @@ def run_crossval(
     ours = {"nested": [], "last": [], "biased": []}
     seed_means = {"nested": []}  # per-seed mean (no ensembling), for the lift
     theirs = []
+    fold_detail = []  # per-member nested probs, for post-hoc aggregator study
     for fold_i, val_idx in enumerate(fold_indices):
         train_idx = np.setdiff1d(np.arange(len(ds)), val_idx)
         x_val, y_val = filtered[val_idx], ds.labels[val_idx]
@@ -216,6 +217,15 @@ def run_crossval(
         ours["last"].append(float((last_probs.argmax(1) == y_val).mean()))
         ours["biased"].append(float(np.mean([m[3] for m in members])))
         seed_means["nested"].append(float(np.mean(per_seed_nested)))
+        fold_detail.append(
+            {
+                "y_val": [int(v) for v in y_val],
+                "members": [m[0] for m in members],
+                "member_nested_probs": [
+                    probs_on(m[0], m[1], x_val).round(5).tolist() for m in members
+                ],
+            }
+        )
 
         if len(spec_probe.class_names) == 3:
             ref_logits = np.asarray(
@@ -256,6 +266,7 @@ def run_crossval(
             for name, v in ours.items()
         },
         "reference": theirs,
+        "fold_detail": fold_detail,
         "config": {
             "epochs": epochs, "augment": augment, "aug_kinds": aug_kinds,
             "label_smoothing": label_smoothing, "lr": lr,
