@@ -89,8 +89,8 @@ def _transformer_spec(name: str, num_classes: int, class_names) -> "ModelSpec":
     )
 
 
-def _logcov_spec(name: str, num_classes: int, class_names) -> "ModelSpec":
-    cfg = _logcov.LogCovConfig(num_classes=num_classes)
+def _logcov_spec(name: str, num_classes: int, class_names, **cfg_kw) -> "ModelSpec":
+    cfg = _logcov.LogCovConfig(num_classes=num_classes, **cfg_kw)
     return ModelSpec(
         name=name,
         config=cfg,
@@ -123,6 +123,14 @@ _BUILDERS: Dict[str, Callable[[], ModelSpec]] = {
     # small-sample EEG approach, models/logcov.py
     "logcov": lambda: _logcov_spec("logcov", 3, THREE_CLASS_NAMES),
     "logcov5": lambda: _logcov_spec("logcov5", 5, FIVE_CLASS_NAMES),
+    # 8 narrow bands (288 features) — finer spectral resolution
+    "logcov8": lambda: _logcov_spec(
+        "logcov8", 3, THREE_CLASS_NAMES,
+        bands=(
+            (3.0, 6.0), (6.0, 9.0), (9.0, 13.0), (13.0, 18.0),
+            (18.0, 24.0), (24.0, 32.0), (32.0, 40.0), (40.0, 48.0),
+        ),
+    ),
 }
 
 
