@@ -36,7 +36,15 @@ def main() -> None:
     ap.add_argument("--schedule", default="constant", choices=("constant", "cosine"))
     ap.add_argument("--base-seed", type=int, default=0)
     ap.add_argument("--out-prefix", required=True)
+    ap.add_argument(
+        "--platform", default=None,
+        help="jax platform override (e.g. cpu for cheap families)",
+    )
     args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from neural_speech_decoding_tpu.config import (
         FIVE_CLASS_PREFIXES,
