@@ -37,8 +37,8 @@ class ModelSpec:
     apply: Callable[..., Any]  # (params, x, *, train=False, rng=None)
 
 
-def _lstm_spec(name: str, num_classes: int, class_names) -> "ModelSpec":
-    cfg = DecoderConfig(num_classes=num_classes)
+def _lstm_spec(name: str, num_classes: int, class_names, **cfg_kw) -> "ModelSpec":
+    cfg = DecoderConfig(num_classes=num_classes, **cfg_kw)
     return ModelSpec(
         name=name,
         config=cfg,
@@ -50,8 +50,8 @@ def _lstm_spec(name: str, num_classes: int, class_names) -> "ModelSpec":
     )
 
 
-def _eegnet_spec(name: str, num_classes: int, class_names) -> "ModelSpec":
-    cfg = _eegnet.EEGNetConfig(num_classes=num_classes)
+def _eegnet_spec(name: str, num_classes: int, class_names, **cfg_kw) -> "ModelSpec":
+    cfg = _eegnet.EEGNetConfig(num_classes=num_classes, **cfg_kw)
     return ModelSpec(
         name=name,
         config=cfg,
@@ -76,8 +76,10 @@ def _tcn_spec(name: str, num_classes: int, class_names, **cfg_kw) -> "ModelSpec"
     )
 
 
-def _transformer_spec(name: str, num_classes: int, class_names) -> "ModelSpec":
-    cfg = _transformer.TransformerConfig(num_classes=num_classes)
+def _transformer_spec(
+    name: str, num_classes: int, class_names, **cfg_kw
+) -> "ModelSpec":
+    cfg = _transformer.TransformerConfig(num_classes=num_classes, **cfg_kw)
     return ModelSpec(
         name=name,
         config=cfg,
@@ -102,34 +104,49 @@ def _logcov_spec(name: str, num_classes: int, class_names, **cfg_kw) -> "ModelSp
     )
 
 
-_BUILDERS: Dict[str, Callable[[], ModelSpec]] = {
-    "lstm": lambda: _lstm_spec("lstm", 3, THREE_CLASS_NAMES),
-    "lstm5": lambda: _lstm_spec("lstm5", 5, FIVE_CLASS_NAMES),
-    "eegnet": lambda: _eegnet_spec("eegnet", 3, THREE_CLASS_NAMES),
-    "eegnet5": lambda: _eegnet_spec("eegnet5", 5, FIVE_CLASS_NAMES),
-    "transformer": lambda: _transformer_spec("transformer", 3, THREE_CLASS_NAMES),
-    "transformer5": lambda: _transformer_spec("transformer5", 5, FIVE_CLASS_NAMES),
-    "tcn": lambda: _tcn_spec("tcn", 3, THREE_CLASS_NAMES),
-    "tcn5": lambda: _tcn_spec("tcn5", 5, FIVE_CLASS_NAMES),
+_NARROW_BANDS = (
+    (3.0, 6.0), (6.0, 9.0), (9.0, 13.0), (13.0, 18.0),
+    (18.0, 24.0), (24.0, 32.0), (32.0, 40.0), (40.0, 48.0),
+)
+
+_BUILDERS: Dict[str, Callable[..., ModelSpec]] = {
+    "lstm": lambda **kw: _lstm_spec("lstm", 3, THREE_CLASS_NAMES, **kw),
+    "lstm5": lambda **kw: _lstm_spec("lstm5", 5, FIVE_CLASS_NAMES, **kw),
+    "eegnet": lambda **kw: _eegnet_spec("eegnet", 3, THREE_CLASS_NAMES, **kw),
+    "eegnet5": lambda **kw: _eegnet_spec("eegnet5", 5, FIVE_CLASS_NAMES, **kw),
+    "transformer": lambda **kw: _transformer_spec(
+        "transformer", 3, THREE_CLASS_NAMES, **kw
+    ),
+    "transformer5": lambda **kw: _transformer_spec(
+        "transformer5", 5, FIVE_CLASS_NAMES, **kw
+    ),
+    "tcn": lambda **kw: _tcn_spec("tcn", 3, THREE_CLASS_NAMES, **kw),
+    "tcn5": lambda **kw: _tcn_spec("tcn5", 5, FIVE_CLASS_NAMES, **kw),
     # capacity variants for the tiny-dataset regime (179 trials): a small,
     # harder-regularized stack and a wide one, CV-compared in BENCHMARKS
-    "tcn_small": lambda: _tcn_spec(
-        "tcn_small", 3, THREE_CLASS_NAMES, width=32, blocks=4, dropout=0.45
+    "tcn_small": lambda **kw: _tcn_spec(
+        "tcn_small", 3, THREE_CLASS_NAMES,
+        **{"width": 32, "blocks": 4, "dropout": 0.45, **kw},
     ),
-    "tcn_wide": lambda: _tcn_spec(
-        "tcn_wide", 3, THREE_CLASS_NAMES, width=64, dropout=0.4
+    "tcn_wide": lambda **kw: _tcn_spec(
+        "tcn_wide", 3, THREE_CLASS_NAMES, **{"width": 64, "dropout": 0.4, **kw}
     ),
     # filter-bank log-covariance (tangent-space) family — the classical
     # small-sample EEG approach, models/logcov.py
-    "logcov": lambda: _logcov_spec("logcov", 3, THREE_CLASS_NAMES),
-    "logcov5": lambda: _logcov_spec("logcov5", 5, FIVE_CLASS_NAMES),
+    "logcov": lambda **kw: _logcov_spec("logcov", 3, THREE_CLASS_NAMES, **kw),
+    "logcov5": lambda **kw: _logcov_spec("logcov5", 5, FIVE_CLASS_NAMES, **kw),
     # 8 narrow bands (288 features) — finer spectral resolution
-    "logcov8": lambda: _logcov_spec(
-        "logcov8", 3, THREE_CLASS_NAMES,
-        bands=(
-            (3.0, 6.0), (6.0, 9.0), (9.0, 13.0), (13.0, 18.0),
-            (18.0, 24.0), (24.0, 32.0), (32.0, 40.0), (40.0, 48.0),
-        ),
+    "logcov8": lambda **kw: _logcov_spec(
+        "logcov8", 3, THREE_CLASS_NAMES, **{"bands": _NARROW_BANDS, **kw}
+    ),
+    # 12 bands: the 4 broad rhythms PLUS the 8 narrow slices (432 features)
+    # — multi-resolution spectral view
+    "logcov12": lambda **kw: _logcov_spec(
+        "logcov12", 3, THREE_CLASS_NAMES,
+        **{
+            "bands": tuple(_logcov.LogCovConfig().bands) + _NARROW_BANDS,
+            **kw,
+        },
     ),
 }
 
@@ -138,10 +155,23 @@ def available_models() -> Tuple[str, ...]:
     return tuple(sorted(_BUILDERS))
 
 
-def get_model(name: str) -> ModelSpec:
+def _freeze(value: Any) -> Any:
+    """JSON-decoded override values -> hashable (lists become tuples), so
+    frozen dataclass configs keep working as jit statics / cache keys."""
+    if isinstance(value, list):
+        return tuple(_freeze(v) for v in value)
+    return value
+
+
+def get_model(name: str, **cfg_kw: Any) -> ModelSpec:
+    """Resolve a registered family, optionally overriding config fields
+    (e.g. get_model("logcov8", shrinkage=0.1)); overrides win over the
+    entry's own defaults. List-valued overrides (e.g. band edges decoded
+    from JSON) are frozen to tuples."""
     try:
-        return _BUILDERS[name]()
+        builder = _BUILDERS[name]
     except KeyError:
         raise KeyError(
             f"unknown model {name!r}; available: {', '.join(available_models())}"
         ) from None
+    return builder(**{k: _freeze(v) for k, v in cfg_kw.items()})

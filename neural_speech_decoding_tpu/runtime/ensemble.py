@@ -74,6 +74,7 @@ class EnsembleEngine:
         config: Optional[PipelineConfig] = None,
         class_names: Optional[Sequence[str]] = None,
         turbo: bool = False,
+        model_kw: Optional[dict] = None,
     ):
         from neural_speech_decoding_tpu.models.registry import get_model
 
@@ -81,7 +82,7 @@ class EnsembleEngine:
             if not model_paths:
                 raise ValueError("need model_paths or params_list")
             params_list = [_load(p) for p in model_paths]
-        spec = get_model(model)
+        spec = get_model(model, **(model_kw or {}))
         config = config or PipelineConfig(
             class_names=spec.class_names,
             decoder=spec.config
@@ -125,6 +126,9 @@ class EnsembleEngine:
             for p in manifest["members"]
         ]
         kw.setdefault("model", manifest.get("model", "lstm"))
+        kw.setdefault(
+            "model_kw", manifest.get("config", {}).get("model_kw") or None
+        )
         return cls(members, **kw)
 
     # -- public API (InferenceEngine contract) ---------------------------

@@ -181,6 +181,7 @@ def train(
     verbose: bool = True,
     preprocessed: Optional[np.ndarray] = None,
     model: Optional[str] = None,
+    model_kw: Optional[Dict[str, Any]] = None,
 ) -> Tuple[Any, List[Dict[str, float]]]:
     """Train a decoder on a TrialDataset. Returns (params, history).
 
@@ -193,7 +194,7 @@ def train(
     if model is not None:
         from neural_speech_decoding_tpu.models.registry import get_model
 
-        spec = get_model(model)
+        spec = get_model(model, **(model_kw or {}))
         model_for_step: Any = spec
     else:
         decoder_cfg = decoder_cfg or DecoderConfig(num_classes=dataset.num_classes)

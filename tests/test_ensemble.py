@@ -94,3 +94,34 @@ def test_empty_batch(member_paths):
     ens = EnsembleEngine(member_paths, model="tcn_small")
     out = ens.predict_batch(np.zeros((0, 625, 8), np.float32))
     assert out.shape == (0, len(ens.class_names))
+
+
+def test_from_manifest_model_kw_roundtrip(tmp_path, dataset):
+    """fit_ensemble manifests carry model_kw; from_manifest rebuilds the
+    same (overridden) config so the stacked params actually fit it."""
+    import json
+
+    spec = get_model("logcov", bands=[[3.0, 10.0], [10.0, 48.0]])
+    paths = []
+    for s in range(2):
+        p = tmp_path / f"m{s}.npz"
+        save_params_npz(p, spec.init(jax.random.PRNGKey(s)))
+        paths.append(p.name)
+    manifest = tmp_path / "ens_manifest.json"
+    manifest.write_text(json.dumps({
+        "model": "logcov",
+        "members": paths,
+        "config": {"model_kw": {"bands": [[3.0, 10.0], [10.0, 48.0]]}},
+    }))
+    ens = EnsembleEngine.from_manifest(str(manifest))
+    probs = ens.predict_batch(dataset.windows[:2])
+    assert probs.shape == (2, 3)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+
+    # without the model_kw the default 4-band config mismatches the params
+    bad = tmp_path / "bad_manifest.json"
+    bad.write_text(json.dumps({"model": "logcov", "members": paths}))
+    with pytest.raises(Exception):
+        EnsembleEngine.from_manifest(str(bad)).predict_batch(
+            dataset.windows[:2]
+        )

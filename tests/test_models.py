@@ -132,3 +132,33 @@ def test_npz_checkpoint_through_engine(tmp_path, windows):
     # .pth + non-lstm family must be rejected
     with pytest.raises(ValueError, match="LSTM-family"):
         InferenceEngine("whatever.pth", model="eegnet")
+
+
+def test_get_model_config_overrides(windows):
+    """get_model(name, **kw) overrides config fields (sweepable via
+    tools/crossval.py --model-kw); lists freeze to tuples for hashability."""
+    spec = get_model("logcov8", shrinkage=0.2, dropout=0.0)
+    assert spec.config.shrinkage == 0.2
+    assert spec.config.dropout == 0.0
+    assert len(spec.config.bands) == 8  # entry default survives
+
+    # JSON-decoded band edges (lists) become tuples -> config stays hashable
+    spec2 = get_model("logcov", bands=[[3.0, 10.0], [10.0, 48.0]])
+    assert spec2.config.bands == ((3.0, 10.0), (10.0, 48.0))
+    hash(spec2.config)
+    logits = spec2.apply(spec2.init(jax.random.PRNGKey(0)), windows[:2])
+    assert logits.shape == (2, 3)
+
+    with pytest.raises(TypeError):
+        get_model("logcov8", not_a_field=1)
+
+
+def test_logcov12_multiresolution_bands(windows):
+    """logcov12 = the 4 broad rhythms + 8 narrow slices (432 features)."""
+    spec = get_model("logcov12")
+    assert len(spec.config.bands) == 12
+    params = spec.init(jax.random.PRNGKey(0))
+    assert params["head"]["w"].shape == (12 * 36, 3)
+    logits = spec.apply(params, windows[:3])
+    assert logits.shape == (3, 3)
+    assert np.all(np.isfinite(np.asarray(logits)))

@@ -33,6 +33,7 @@ import argparse
 import json
 import sys
 from pathlib import Path
+from typing import Optional
 
 import numpy as np
 
@@ -52,6 +53,22 @@ REFERENCE_CKPT = (
     "/root/reference/Neuro-Alpha-App/Utilities/LSTM_Model/"
     "lstm_classifier_Water_Food_Bg_Noise.pth"
 )
+
+
+def parse_model_kw(pairs) -> dict:
+    """--model-kw KEY=VALUE strings -> config-override dict (values parse
+    as JSON, falling back to string; get_model freezes lists)."""
+    kw = {}
+    for pair in pairs:
+        key, eq, raw = pair.partition("=")
+        if not eq:
+            raise SystemExit(f"--model-kw expects KEY=VALUE, got {pair!r}")
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        kw[key.replace("-", "_")] = val
+    return kw
 
 
 def stratified_folds(labels: np.ndarray, k: int, seed: int = 0):
@@ -76,6 +93,7 @@ def run_crossval(
     seed: int = 0,
     protocol: str = "nested",
     seeds: int = 1,
+    model_kw: Optional[dict] = None,
     verbose: bool = True,
 ) -> dict:
     """K-fold CV of one configuration; returns the summary dict (the
@@ -89,7 +107,7 @@ def run_crossval(
     # per family, all probabilities averaged (families with different
     # inductive biases give the diversity seed ensembles of one family lack)
     families = [f.strip() for f in model.split("+") if f.strip()]
-    specs = {name: get_model(name) for name in families}
+    specs = {name: get_model(name, **(model_kw or {})) for name in families}
     if len({len(s.class_names) for s in specs.values()}) != 1:
         raise ValueError(f"ensemble families disagree on classes: {families}")
     spec_probe = specs[families[0]]
@@ -271,6 +289,7 @@ def run_crossval(
             "epochs": epochs, "augment": augment, "aug_kinds": aug_kinds,
             "label_smoothing": label_smoothing, "lr": lr,
             "schedule": schedule, "seed": seed, "seeds": seeds,
+            "model_kw": model_kw or {},
         },
     }
     n_members = len(families) * seeds
@@ -308,6 +327,12 @@ def main() -> None:
         "--protocol", default="nested", choices=("nested", "last", "biased")
     )
     ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument(
+        "--model-kw", action="append", default=[], metavar="KEY=VALUE",
+        help="model-config field override forwarded to the registry, "
+             "repeatable (e.g. --model-kw shrinkage=0.1 --model-kw "
+             "dropout=0.0); values parse as JSON, falling back to string",
+    )
     ap.add_argument("--json", default=None)
     ap.add_argument(
         "--platform", default=None,
@@ -323,7 +348,7 @@ def main() -> None:
         augment=args.augment, aug_kinds=args.aug_kinds,
         label_smoothing=args.label_smoothing, lr=args.lr,
         schedule=args.schedule, seed=args.seed, protocol=args.protocol,
-        seeds=args.seeds,
+        seeds=args.seeds, model_kw=parse_model_kw(args.model_kw),
     )
     if args.json:
         Path(args.json).write_text(json.dumps(summary, indent=2))

@@ -37,6 +37,12 @@ def main() -> None:
     ap.add_argument("--base-seed", type=int, default=0)
     ap.add_argument("--out-prefix", required=True)
     ap.add_argument(
+        "--model-kw", action="append", default=[], metavar="KEY=VALUE",
+        help="model-config override forwarded to the registry (repeatable); "
+             "recorded in the manifest so EnsembleEngine.from_manifest "
+             "rebuilds the same config",
+    )
+    ap.add_argument(
         "--platform", default=None,
         help="jax platform override (e.g. cpu for cheap families)",
     )
@@ -58,7 +64,10 @@ def main() -> None:
 
     import numpy as np
 
-    spec = get_model(args.model)
+    from crossval import parse_model_kw  # tools/ sibling
+
+    model_kw = parse_model_kw(args.model_kw)
+    spec = get_model(args.model, **model_kw)
     if len(spec.class_names) == 5:
         ds = load_trials(class_prefixes=FIVE_CLASS_PREFIXES)
     else:
@@ -82,7 +91,7 @@ def main() -> None:
         )
         print(f"[member {s + 1}/{args.seeds}] seed={member_seed}", flush=True)
         params, history = train(
-            ds, train_cfg=train_cfg, model=args.model,
+            ds, train_cfg=train_cfg, model=args.model, model_kw=model_kw,
             preprocessed=preprocessed, verbose=False,
         )
         out = f"{args.out_prefix}_s{s}.npz"
@@ -100,6 +109,7 @@ def main() -> None:
             "aug_kinds": args.aug_kinds,
             "label_smoothing": args.label_smoothing, "lr": args.lr,
             "schedule": args.schedule, "base_seed": args.base_seed,
+            "model_kw": model_kw,
         },
         "serve_with": "neural_speech_decoding_tpu.runtime.EnsembleEngine",
     }
