@@ -121,10 +121,20 @@ class EnsembleEngine:
 
         mpath = Path(manifest_path)
         manifest = json.loads(mpath.read_text())
-        members = [
-            p if Path(p).is_absolute() else str((mpath.parent / Path(p).name))
-            for p in manifest["members"]
-        ]
+        members = []
+        for p in manifest["members"]:
+            cand = Path(p)
+            if not cand.is_absolute():
+                # relative to the manifest's directory; fit_ensemble writes
+                # repo-root-relative paths, so fall back to basename next to
+                # the manifest for a relocated checkpoints/ directory
+                rel = mpath.parent / cand
+                cand = rel if rel.exists() else mpath.parent / cand.name
+            members.append(str(cand))
+        if len(set(members)) != len(members):
+            raise ValueError(
+                f"manifest members collapse to duplicate paths: {members}"
+            )
         kw.setdefault("model", manifest.get("model", "lstm"))
         kw.setdefault(
             "model_kw", manifest.get("config", {}).get("model_kw") or None

@@ -50,7 +50,7 @@ def test_fused_two_layer_scan_matches_per_layer(params, dataset):
 
     filtered = np.asarray(mai_filter_batch(dataset.windows[:8], FilterConfig()))
     for gate_math in ("rational", "builtin"):
-        base_cfg = DecoderConfig(gate_math=gate_math)
+        base_cfg = DecoderConfig(gate_math=gate_math, fused_scan=False)
         fused_cfg = dataclasses.replace(base_cfg, fused_scan=True)
         base = np.asarray(
             jax.jit(lambda x: decoder_logits(params, x, base_cfg))(filtered)

@@ -122,6 +122,56 @@ def run_crossval(
     ref = load_decoder_params(REFERENCE_CKPT)
     lstm_spec = get_model("lstm")
 
+    from neural_speech_decoding_tpu.train.augment import (
+        ALL_KINDS,
+        KINDS,
+        augment_batch_np,
+    )
+    from neural_speech_decoding_tpu.train.loop import (
+        _optimizer,
+        make_eval_fn,
+        make_train_step,
+    )
+
+    # Jitted callables hoisted out of the fold loop: rebuilding them per
+    # fold/member would bust jax's jit cache (new function objects) and pay
+    # the ~30 s remote-compile cost dozens of times instead of once per
+    # distinct (family, shape).
+    eval_fns = {n: jax.jit(make_eval_fn(s)) for n, s in specs.items()}
+    probs_fns = {
+        n: jax.jit(
+            lambda p, x, s=s: jax.nn.softmax(s.apply(p, x, train=False), axis=-1)
+        )
+        for n, s in specs.items()
+    }
+    ref_logits_fn = jax.jit(lambda p, w: lstm_spec.apply(p, w, train=False))
+    # optimizer + train step reused across members/folds; keyed by
+    # steps_per_epoch because the cosine schedule depends on it (the
+    # optimizer is seed-independent)
+    _step_cache: dict = {}
+
+    def step_and_opt(family: str, steps_per_epoch: int):
+        key = (family, steps_per_epoch)
+        if key not in _step_cache:
+            opt_cfg = TrainConfig(
+                learning_rate=lr, epochs=epochs, batch_size=32,
+                label_smoothing=label_smoothing, schedule=schedule,
+            )
+            optimizer = _optimizer(opt_cfg, steps_per_epoch)
+            step_fn = jax.jit(
+                make_train_step(specs[family], optimizer, label_smoothing),
+                donate_argnums=(0, 1),
+            )
+            _step_cache[key] = (step_fn, optimizer)
+        return _step_cache[key]
+
+    def acc_on(family, p, x, y):
+        w = np.ones(len(x), np.float32)
+        return float(eval_fns[family](p, x, y.astype(np.int32), w)["accuracy"])
+
+    def probs_on(family, p, x):
+        return np.asarray(probs_fns[family](p, x))
+
     fold_indices = stratified_folds(ds.labels, folds, seed)
     ours = {"nested": [], "last": [], "biased": []}
     seed_means = {"nested": []}  # per-seed mean (no ensembling), for the lift
@@ -141,30 +191,6 @@ def run_crossval(
         x_base, y_base = filtered[inner_train_idx], ds.labels[inner_train_idx]
         x_ival, y_ival = filtered[inner_val_idx], ds.labels[inner_val_idx]
 
-        from neural_speech_decoding_tpu.train.augment import (
-            ALL_KINDS,
-            KINDS,
-            augment_batch_np,
-        )
-        from neural_speech_decoding_tpu.train.loop import (
-            _optimizer,
-            make_eval_fn,
-            make_train_step,
-        )
-
-        eval_fns = {n: jax.jit(make_eval_fn(s)) for n, s in specs.items()}
-        logits_fns = {
-            n: jax.jit(lambda p, x, s=s: s.apply(p, x, train=False))
-            for n, s in specs.items()
-        }
-
-        def acc_on(family, p, x, y):
-            w = np.ones(len(x), np.float32)
-            return float(eval_fns[family](p, x, y.astype(np.int32), w)["accuracy"])
-
-        def probs_on(family, p, x):
-            return np.asarray(jax.nn.softmax(logits_fns[family](p, x), axis=-1))
-
         def train_member(family: str, member_seed: int):
             """One training run; epoch selection on the inner split only.
             Returns (nested_params, last_params, biased_outer_acc)."""
@@ -177,26 +203,17 @@ def run_crossval(
                 x_train = np.concatenate([x_train, xa])
                 y_train = np.concatenate([y_train, ya])
 
-            cfg = TrainConfig(
-                learning_rate=lr, epochs=epochs, batch_size=32,
-                label_smoothing=label_smoothing, seed=member_seed,
-                schedule=schedule,
-            )
             spec = specs[family]
-            optimizer = _optimizer(cfg, max(1, len(x_train) // 32))
-            rng = jax.random.PRNGKey(cfg.seed)
+            step_fn, optimizer = step_and_opt(family, max(1, len(x_train) // 32))
+            rng = jax.random.PRNGKey(member_seed)
             rng, k = jax.random.split(rng)
             params = spec.init(k)
             opt_state = optimizer.init(params)
-            step_fn = jax.jit(
-                make_train_step(spec, optimizer, cfg.label_smoothing),
-                donate_argnums=(0, 1),
-            )
-            np_rng = np.random.default_rng(cfg.seed)
+            np_rng = np.random.default_rng(member_seed)
             best_outer = -1.0  # the biased protocol, for comparison only
             best_inner = -1.0
             nested_params = None
-            for _epoch in range(cfg.epochs):
+            for _epoch in range(epochs):
                 perm = np_rng.permutation(len(x_train))
                 for i in range(0, len(x_train) - 32 + 1, 32):
                     idx = perm[i : i + 32]
@@ -221,15 +238,15 @@ def run_crossval(
         ]
         # Ensemble = mean softmax over members. Each member's epoch was
         # chosen on the inner split, so this never selects on the eval fold.
-        nested_probs = np.mean(
-            [probs_on(m[0], m[1], x_val) for m in members], axis=0
-        )
+        # One forward pass per member per params-set; reused below for the
+        # ensemble mean, the per-seed accuracies, and fold_detail.
+        member_nested_probs = [probs_on(m[0], m[1], x_val) for m in members]
+        nested_probs = np.mean(member_nested_probs, axis=0)
         last_probs = np.mean(
             [probs_on(m[0], m[2], x_val) for m in members], axis=0
         )
         per_seed_nested = [
-            float((probs_on(m[0], m[1], x_val).argmax(1) == y_val).mean())
-            for m in members
+            float((p.argmax(1) == y_val).mean()) for p in member_nested_probs
         ]
         ours["nested"].append(float((nested_probs.argmax(1) == y_val).mean()))
         ours["last"].append(float((last_probs.argmax(1) == y_val).mean()))
@@ -240,15 +257,13 @@ def run_crossval(
                 "y_val": [int(v) for v in y_val],
                 "members": [m[0] for m in members],
                 "member_nested_probs": [
-                    probs_on(m[0], m[1], x_val).round(5).tolist() for m in members
+                    p.round(5).tolist() for p in member_nested_probs
                 ],
             }
         )
 
         if len(spec_probe.class_names) == 3:
-            ref_logits = np.asarray(
-                jax.jit(lambda p, w: lstm_spec.apply(p, w, train=False))(ref, x_val)
-            )
+            ref_logits = np.asarray(ref_logits_fn(ref, x_val))
             theirs.append(float((ref_logits.argmax(1) == y_val).mean()))
         else:
             # the reference has no 5-class decoder (it abandoned the task);
@@ -283,6 +298,11 @@ def run_crossval(
             name: {"mean": float(np.mean(v)), "std": float(np.std(v)), "folds": v}
             for name, v in ours.items()
         },
+        # nested/last score the K-member mean-softmax ensemble; "biased" has
+        # no ensemble analogue (each member's max-over-epochs picks a
+        # DIFFERENT epoch per member), so it averages per-member numbers —
+        # don't read it as the same predictor as the other two rows.
+        "biased_is_per_member": len(families) * seeds > 1,
         "reference": theirs,
         "fold_detail": fold_detail,
         "config": {
@@ -301,6 +321,8 @@ def run_crossval(
     for name in ("nested", "last", "biased"):
         row = summary["by_protocol"][name]
         tag = " (headline)" if name == protocol else ""
+        if name == "biased" and summary["biased_is_per_member"]:
+            tag += " [per-member mean, not the ensemble]"
         log(f"  {name:7s} {row['mean']:.3f} ± {row['std']:.3f}{tag}")
     if n_members > 1:
         ps = summary["per_seed_nested"]

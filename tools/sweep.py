@@ -95,7 +95,8 @@ def main() -> None:
         from neural_speech_decoding_tpu.train.loop import TrainConfig, train
 
         cfg = best["config"]
-        spec = get_model(best["model"])
+        model_kw = cfg.get("model_kw") or {}
+        spec = get_model(best["model"], **model_kw)
         if len(spec.class_names) == 5:
             ds = load_trials(class_prefixes=FIVE_CLASS_PREFIXES)
         else:
@@ -114,7 +115,7 @@ def main() -> None:
         # same filter rendering the CV scored with (and that inference
         # serves) — not the f64 fidelity path
         params, history = train(
-            ds, train_cfg=train_cfg, model=best["model"],
+            ds, train_cfg=train_cfg, model=best["model"], model_kw=model_kw,
             filter_cfg=FilterConfig(precision="fast"),
         )
         save_params_npz(args.train_winner, params)
