@@ -58,6 +58,13 @@ class LogCovConfig:
     # trick as the matmul Hilbert; odd-length FFTs are slow on TPU).
     # Numerically identical to ~1e-6; see tests/test_models.py.
     spectral: str = "fft"
+    # tangent space at the training-set mean covariance instead of at the
+    # identity: features become logm(G^-1/2 S G^-1/2) with G fitted per band
+    # by fit_whitener (the classical Riemannian tangent-space construction;
+    # pure logm(S) is the geometry-agnostic special case G=I). Enabling this
+    # adds a non-trainable "whitener" buffer to the params pytree, fitted
+    # once via ModelSpec.fit before training.
+    whiten: bool = False
 
 
 def _num_features(cfg: LogCovConfig) -> int:
@@ -68,7 +75,7 @@ def _num_features(cfg: LogCovConfig) -> int:
 def init_logcov_params(rng: jax.Array, cfg: LogCovConfig) -> Params:
     n = _num_features(cfg)
     kw, _ = jax.random.split(rng)
-    return {
+    params = {
         "ln": {
             "scale": jnp.ones((n,), jnp.float32),
             "bias": jnp.zeros((n,), jnp.float32),
@@ -79,6 +86,27 @@ def init_logcov_params(rng: jax.Array, cfg: LogCovConfig) -> Params:
             "b": jnp.zeros((cfg.num_classes,), jnp.float32),
         },
     }
+    if cfg.whiten:
+        # identity until fit_whitener runs — a fixed buffer, excluded from
+        # gradients by stop_gradient in logcov_features (keep weight_decay
+        # at 0 for this family or the optimizer would still decay it)
+        params["whitener"] = jnp.broadcast_to(
+            jnp.eye(cfg.num_channels, dtype=jnp.float32),
+            (len(cfg.bands), cfg.num_channels, cfg.num_channels),
+        )
+    return params
+
+
+def fit_whitener(params: Params, x_btc, y=None, *, cfg: LogCovConfig) -> Params:
+    """Fit the tangent-point whitener G^-1/2 per band on TRAINING windows
+    (G = arithmetic mean of the shrunk band covariances — the standard
+    cheap stand-in for the Riemannian mean) and return updated params."""
+    g = jnp.mean(band_covariances(jnp.asarray(x_btc, jnp.float32), cfg), axis=0)
+    w, v = jnp.linalg.eigh(g)  # [nb, C] / [nb, C, C]
+    inv_sqrt = jnp.einsum(
+        "nij,nj,nkj->nik", v, 1.0 / jnp.sqrt(jnp.maximum(w, 1e-12)), v
+    )
+    return {**params, "whitener": inv_sqrt.astype(jnp.float32)}
 
 
 @functools.lru_cache(maxsize=8)
@@ -140,9 +168,17 @@ def band_covariances(x_btc: jnp.ndarray, cfg: LogCovConfig) -> jnp.ndarray:
     return (1.0 - cfg.shrinkage) * s + cfg.shrinkage * (trace / c + 1e-12) * eye
 
 
-def logcov_features(x_btc: jnp.ndarray, cfg: LogCovConfig) -> jnp.ndarray:
+def logcov_features(
+    x_btc: jnp.ndarray,
+    cfg: LogCovConfig,
+    whitener: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """[B, T, C] -> tangent-space feature vectors [B, n_features]."""
     s = band_covariances(x_btc.astype(jnp.float32), cfg)
+    if whitener is not None:
+        w0 = jax.lax.stop_gradient(whitener)  # fixed buffer, not a weight
+        s = jnp.einsum("nij,bnjk,nkl->bnil", w0, s, w0)
+        s = 0.5 * (s + jnp.swapaxes(s, -1, -2))
     w, v = jnp.linalg.eigh(s)  # batched 8x8
     logm = jnp.einsum(
         "...ij,...j,...kj->...ik", v, jnp.log(jnp.maximum(w, 1e-12)), v
@@ -164,7 +200,9 @@ def logcov_apply(
 ) -> jnp.ndarray:
     if train and rng is None:
         raise ValueError("train=True requires rng")
-    f = logcov_features(x_btc, cfg)
+    f = logcov_features(
+        x_btc, cfg, whitener=params.get("whitener") if cfg.whiten else None
+    )
     mean = jnp.mean(f, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(f - mean), axis=-1, keepdims=True)
     f = (f - mean) / jnp.sqrt(var + cfg.ln_eps)

@@ -35,6 +35,11 @@ class ModelSpec:
     class_names: Tuple[str, ...]
     init: Callable[[jax.Array], Any]
     apply: Callable[..., Any]  # (params, x, *, train=False, rng=None)
+    # optional data-dependent initialization: (params, x_train, y_train) ->
+    # params, run ONCE on TRAINING data after init (e.g. the logcov
+    # tangent-point whitener). Callers (train loop, crossval) invoke it
+    # right after spec.init; it must never see evaluation data.
+    fit: "Callable[[Any, Any, Any], Any] | None" = None
 
 
 def _lstm_spec(name: str, num_classes: int, class_names, **cfg_kw) -> "ModelSpec":
@@ -100,6 +105,11 @@ def _logcov_spec(name: str, num_classes: int, class_names, **cfg_kw) -> "ModelSp
         init=lambda rng: _logcov.init_logcov_params(rng, cfg),
         apply=lambda p, x, *, train=False, rng=None: _logcov.logcov_apply(
             p, x, cfg, train=train, rng=rng
+        ),
+        fit=(
+            (lambda p, x, y=None: _logcov.fit_whitener(p, x, y, cfg=cfg))
+            if cfg.whiten
+            else None
         ),
     )
 

@@ -232,6 +232,10 @@ def train(
     if init_params is None:
         rng, k = jax.random.split(rng)
         init_params = spec.init(k) if spec is not None else init_decoder_params(k, decoder_cfg)
+        if spec is not None and spec.fit is not None:
+            # data-dependent init (e.g. logcov tangent-point whitener) —
+            # training data only; a resumed init_params already carries it
+            init_params = spec.fit(init_params, x_train, y_train)
 
     steps_per_epoch = max(1, x_train.shape[0] // max(1, train_cfg.batch_size))
     optimizer = _optimizer(train_cfg, steps_per_epoch)

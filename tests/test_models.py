@@ -162,3 +162,58 @@ def test_logcov12_multiresolution_bands(windows):
     logits = spec.apply(params, windows[:3])
     assert logits.shape == (3, 3)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_logcov_whitening_fit_hook(windows):
+    """whiten=True: ModelSpec.fit computes the per-band tangent-point
+    whitener G^-1/2; features on the fitting data become near-centered and
+    the buffer takes no gradient (stop_gradient)."""
+    import jax.numpy as jnp
+
+    from neural_speech_decoding_tpu.models.logcov import logcov_features
+
+    spec = get_model("logcov", whiten=True)
+    assert spec.fit is not None
+    assert get_model("logcov").fit is None  # default stays fit-free
+
+    x = np.asarray(windows[:16], np.float32)
+    p0 = spec.init(jax.random.PRNGKey(0))
+    nb = len(spec.config.bands)
+    np.testing.assert_array_equal(
+        np.asarray(p0["whitener"]), np.broadcast_to(np.eye(8), (nb, 8, 8))
+    )
+    p1 = spec.fit(p0, x, None)
+
+    f_id = np.asarray(logcov_features(x, spec.config))
+    f_wh = np.asarray(logcov_features(x, spec.config, whitener=p1["whitener"]))
+    assert np.abs(f_wh.mean(0)).mean() < 0.2 * np.abs(f_id.mean(0)).mean()
+
+    g = jax.grad(lambda p: jnp.sum(spec.apply(p, x[:4]) ** 2))(p1)
+    assert float(jnp.abs(g["whitener"]).max()) == 0.0
+    assert float(jnp.abs(g["head"]["w"]).max()) > 0.0
+
+    # identity whitener == no whitener (exactly the unwhitened features)
+    np.testing.assert_allclose(
+        np.asarray(logcov_features(x, spec.config, whitener=p0["whitener"])),
+        f_id, rtol=2e-4, atol=2e-5,
+    )
+
+
+def test_logcov_whiten_trains_and_roundtrips(tmp_path, windows):
+    """Whitened logcov trains through the standard loop (fit hook runs) and
+    the whitener survives an npz round-trip into the engine."""
+    from neural_speech_decoding_tpu.io.params_io import (
+        load_params_npz,
+        save_params_npz,
+    )
+
+    spec = get_model("logcov", whiten=True)
+    params = spec.fit(spec.init(jax.random.PRNGKey(0)), windows[:16], None)
+    path = tmp_path / "wh.npz"
+    save_params_npz(path, params)
+    back = load_params_npz(path)
+    np.testing.assert_array_equal(
+        np.asarray(params["whitener"]), np.asarray(back["whitener"])
+    )
+    logits = spec.apply(back, windows[:2])
+    assert logits.shape == (2, 3)

@@ -208,6 +208,10 @@ def run_crossval(
             rng = jax.random.PRNGKey(member_seed)
             rng, k = jax.random.split(rng)
             params = spec.init(k)
+            if spec.fit is not None:
+                # data-dependent init (e.g. logcov whitener) — fold's
+                # training windows only, never the eval fold
+                params = spec.fit(params, x_train, y_train)
             opt_state = optimizer.init(params)
             np_rng = np.random.default_rng(member_seed)
             best_outer = -1.0  # the biased protocol, for comparison only
