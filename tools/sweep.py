@@ -40,6 +40,17 @@ GRIDS = {
         "epochs": [2],
         "folds": [2],
     },
+    # the accuracy-flagship family: model_kw axes sweep config fields the
+    # registry exposes through get_model(**kw)
+    "logcov": {
+        "model": ["logcov8"],
+        "model_kw": [
+            {},
+            {"dropout": 0.0},
+            {"whiten": True, "dropout": 0.0},
+        ],
+        "augment": [0.5],
+    },
 }
 
 
