@@ -210,6 +210,40 @@ def mesh_windows_per_sec(windows: np.ndarray) -> tuple[float, int, str]:
     return batch_size * TPU_ITERS / dt, dp, device_kind
 
 
+def ensemble_windows_per_sec(
+    windows: np.ndarray, manifest: str
+) -> tuple[float, int, str, float]:
+    """Decode throughput of the deployment seed ensemble (K members in one
+    vmapped pass — the accuracy-flagship serving path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neural_speech_decoding_tpu.runtime.ensemble import EnsembleEngine
+
+    device_kind = jax.devices()[0].device_kind
+    ens = EnsembleEngine.from_manifest(manifest)
+    reps = int(np.ceil(TPU_BATCH / windows.shape[0]))
+    batch = jnp.asarray(
+        np.tile(windows, (reps, 1, 1))[:TPU_BATCH], dtype=jnp.float32
+    )
+    np.asarray(ens._pipeline(ens.params, batch))  # warm compile
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(TPU_ITERS):
+        out = ens._pipeline(ens.params, batch)
+    np.asarray(out)
+    wps = TPU_BATCH * TPU_ITERS / (time.perf_counter() - t0)
+
+    one = batch[:1]
+    np.asarray(ens._pipeline(ens.params, one))
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        np.asarray(ens._pipeline(ens.params, one))
+        lat.append(time.perf_counter() - t0)
+    return wps, ens.num_members, device_kind, float(np.median(lat) * 1e3)
+
+
 def main() -> None:
     import argparse
 
@@ -219,8 +253,34 @@ def main() -> None:
         help="dp-shard the decode over all devices and report the "
              "aggregate windows/s (one JSON line, *_mesh metric)",
     )
+    ap.add_argument(
+        "--ensemble", default=None, metavar="MANIFEST",
+        help="benchmark the deployment seed ensemble from a "
+             "tools/fit_ensemble.py manifest (one JSON line, "
+             "*_ensemble metric)",
+    )
     args = ap.parse_args()
     windows = _load_windows()
+
+    if args.ensemble:
+        wps, k, device_kind, p50_ms = ensemble_windows_per_sec(
+            windows, args.ensemble
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "eeg_windows_per_sec_ensemble",
+                    "value": round(wps, 1),
+                    "unit": "windows/s/chip",
+                    "vs_baseline": None,
+                    "members": k,
+                    "batch1_p50_latency_ms": round(p50_ms, 2),
+                    "batch": TPU_BATCH,
+                    "device": device_kind,
+                }
+            )
+        )
+        return
 
     if args.mesh:
         wps, dp, device_kind = mesh_windows_per_sec(windows)

@@ -17,9 +17,21 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mesh", [False, True])
-def test_bench_emits_one_json_line(mesh):
-    argv = ["bench.py"] + (["--mesh"] if mesh else [])
+@pytest.mark.parametrize(
+    "extra",
+    [
+        [],
+        ["--mesh"],
+        ["--ensemble", "checkpoints/logcov8_ens_manifest.json"],
+    ],
+    ids=["default", "mesh", "ensemble"],
+)
+def test_bench_emits_one_json_line(extra):
+    if extra and extra[0] == "--ensemble" and not (
+        REPO_ROOT / extra[1]
+    ).is_file():
+        pytest.skip("no deployment ensemble manifest in this checkout")
+    argv = ["bench.py"] + extra
     code = (
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
