@@ -44,9 +44,12 @@ class InferenceEngine:
         model: str = "lstm",
         turbo: bool = False,
         donate: bool = False,
+        model_kw: Optional[dict] = None,
     ):
-        """`model` is a registry family name; `model_path` accepts the
-        reference .pth (LSTM families) or our native .npz pytrees.
+        """`model` is a registry family name (`model_kw` forwards config
+        overrides, e.g. whiten=True for a whitened logcov checkpoint);
+        `model_path` accepts the reference .pth (LSTM families) or our
+        native .npz pytrees.
         `turbo` runs the LSTM recurrence in bfloat16 (~1.9x throughput,
         100% argmax agreement on the shipped trials); it is a no-op for non-recurrent families,
         which have no serial bottleneck to relax."""
@@ -54,7 +57,7 @@ class InferenceEngine:
 
         from neural_speech_decoding_tpu.models.registry import get_model
 
-        spec = get_model(model)
+        spec = get_model(model, **(model_kw or {}))
         if params is None:
             if model_path is None:
                 raise ValueError("need model_path or params")

@@ -70,3 +70,23 @@ def test_turbo_mode_argmax_agreement(checkpoint_path, dataset):
 def test_empty_batch(engine):
     out = engine.predict_batch(np.zeros((0, 625, 8), np.float32))
     assert out.shape == (0, 3)
+
+
+def test_engine_model_kw_override(tmp_path, dataset):
+    """InferenceEngine(model_kw=...) serves a non-default config (here a
+    whitened logcov) whose params would mismatch the registry default."""
+    import jax
+
+    from neural_speech_decoding_tpu.io.params_io import save_params_npz
+    from neural_speech_decoding_tpu.models.registry import get_model
+
+    spec = get_model("logcov", whiten=True)
+    params = spec.fit(
+        spec.init(jax.random.PRNGKey(0)), dataset.windows[:16], None
+    )
+    path = tmp_path / "wh.npz"
+    save_params_npz(path, params)
+    eng = InferenceEngine(str(path), model="logcov", model_kw={"whiten": True})
+    probs, label = eng.predict(dataset.windows[0])
+    assert probs.shape == (3,)
+    assert label in eng.class_names
