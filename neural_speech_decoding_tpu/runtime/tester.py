@@ -27,6 +27,7 @@ throughput stats (the BASELINE.md north-star metrics).
 
 from __future__ import annotations
 
+import json
 import os
 import queue
 import time
@@ -222,10 +223,19 @@ def main() -> None:
                     help="board spec: replay[:path] | synthetic | native-replay | native-synthetic")
     ap.add_argument("--speed", type=float, default=1.0,
                     help="replay/synthetic time acceleration")
-    ap.add_argument("--model", default=None, help="checkpoint path (.pth or .npz)")
+    ap.add_argument(
+        "--model", default=None,
+        help="checkpoint path (.pth or .npz), or a fit_ensemble "
+             "*_manifest.json to serve the seed ensemble",
+    )
     ap.add_argument(
         "--family", default="lstm",
         help="decoder family: lstm | lstm5 | eegnet | transformer | ...",
+    )
+    ap.add_argument(
+        "--model-kw", action="append", default=[], metavar="KEY=VALUE",
+        help="model-config override for the family (repeatable), e.g. "
+             "--model-kw whiten=true for a whitened logcov checkpoint",
     )
     ap.add_argument("--window-seconds", type=float, default=5.0)
     args = ap.parse_args()
@@ -236,12 +246,36 @@ def main() -> None:
 
         board = open_board(args.board, speed=args.speed)
 
+    model_kw = {}
+    for pair in args.model_kw:
+        key, eq, raw = pair.partition("=")
+        if not eq:
+            raise SystemExit(f"--model-kw expects KEY=VALUE, got {pair!r}")
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        model_kw[key.replace("-", "_")] = val
+
+    engine = None
+    if args.model and args.model.endswith(".json"):
+        from neural_speech_decoding_tpu.runtime.ensemble import EnsembleEngine
+
+        engine = EnsembleEngine.from_manifest(args.model)
+    elif model_kw:
+        engine = InferenceEngine(
+            args.model or default_model_path(),
+            model=args.family,
+            model_kw=model_kw,
+        )
+
     result, stats = run_trials_ex(
         trials=args.trials,
         serial_port=board,
         window_seconds=args.window_seconds,
-        model_path=args.model,
+        model_path=None if engine is not None else args.model,
         model=args.family,
+        engine=engine,
     )
     print(f"windows/s: {stats.windows_per_second:.3f}  {stats.latency}")
 
