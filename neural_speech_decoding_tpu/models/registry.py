@@ -158,6 +158,12 @@ _BUILDERS: Dict[str, Callable[..., ModelSpec]] = {
             **kw,
         },
     ),
+    # 5-class narrow-band variant — the strongest decoder on the full
+    # yes/no/water/food/bg vocabulary the reference abandoned (33.3% nested
+    # CV vs 20% chance; docs/BENCHMARKS.md)
+    "logcov8_5": lambda **kw: _logcov_spec(
+        "logcov8_5", 5, FIVE_CLASS_NAMES, **{"bands": _NARROW_BANDS, **kw}
+    ),
 }
 
 
