@@ -50,9 +50,33 @@ def main() -> None:
     ap.add_argument("--history-out", default=None)
     ap.add_argument("--mesh", action="store_true",
                     help="data-parallel training over all visible devices")
+    ap.add_argument(
+        "--model-kw", action="append", default=[], metavar="KEY=VALUE",
+        help="model-config override forwarded to the registry (repeatable), "
+             "e.g. --model-kw whiten=true; values parse as JSON",
+    )
+    ap.add_argument(
+        "--platform", default=None,
+        help="jax platform override (e.g. cpu for cheap families)",
+    )
     args = ap.parse_args()
+    if args.platform:
+        import jax
 
-    spec = get_model(args.model)
+        jax.config.update("jax_platforms", args.platform)
+
+    model_kw = {}
+    for pair in args.model_kw:
+        key, eq, raw = pair.partition("=")
+        if not eq:
+            raise SystemExit(f"--model-kw expects KEY=VALUE, got {pair!r}")
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        model_kw[key.replace("-", "_")] = val
+
+    spec = get_model(args.model, **model_kw)
     prefixes = (
         FIVE_CLASS_PREFIXES if len(spec.class_names) == 5 else THREE_CLASS_PREFIXES
     )
@@ -69,6 +93,7 @@ def main() -> None:
     params, history = train(
         ds,
         model=args.model,
+        model_kw=model_kw,
         train_cfg=TrainConfig(
             learning_rate=args.lr,
             weight_decay=args.weight_decay,
