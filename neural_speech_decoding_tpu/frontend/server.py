@@ -106,6 +106,20 @@ class _State:
 STATE = _State()
 
 
+def _resolve_engine(family: str, model_path):
+    """Cached engine lookup keyed by checkpoint path (or family for the
+    default checkpoint). A fit_ensemble *_manifest.json path serves the
+    seed ensemble through the same predict surface."""
+    key = str(model_path) if model_path else family
+    engine = STATE.engines.get(key)
+    if engine is None and model_path and str(model_path).endswith(".json"):
+        from neural_speech_decoding_tpu.runtime.ensemble import EnsembleEngine
+
+        engine = EnsembleEngine.from_manifest(str(model_path))
+        STATE.engines[key] = engine
+    return engine
+
+
 class Handler(BaseHTTPRequestHandler):
     def _send(self, code: int, body: bytes, ctype: str = "application/json") -> None:
         self.send_response(code)
@@ -142,13 +156,15 @@ class Handler(BaseHTTPRequestHandler):
                 snap = common.mock_snapshot(req.get("focus", common.CLASSES[0]))
             else:
                 family = req.get("family", "lstm")
+                model_path = req.get("model_path") or None
+                engine = _resolve_engine(family, model_path)
                 snap = common.decode_snapshot(
                     board_spec=req.get("board", "replay"),
                     speed=float(req.get("speed", 32.0)),
                     trials=int(req.get("trials", 10)),
-                    model_path=req.get("model_path") or None,
+                    model_path=None if engine is not None else model_path,
                     family=family,
-                    engine=STATE.engines.get(family),
+                    engine=engine,
                 )
             with STATE.lock:
                 STATE.snapshot = snap
@@ -164,17 +180,18 @@ class Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length) or b"{}")
             family = req.get("family", "lstm")
-            engine = STATE.engines.get(family)
+            model_path = req.get("model_path") or None
+            engine = _resolve_engine(family, model_path)
             if engine is None:
                 from neural_speech_decoding_tpu.runtime.engine import InferenceEngine
                 from neural_speech_decoding_tpu.runtime.tester import default_model_path
 
                 engine = InferenceEngine(
-                    req.get("model_path") or default_model_path(),
+                    model_path or default_model_path(),
                     model=family,
                     class_names=("Food", "Water", "None") if family == "lstm" else None,
                 )
-                STATE.engines[family] = engine
+                STATE.engines[str(model_path) if model_path else family] = engine
 
             from neural_speech_decoding_tpu.runtime.board import open_board
             from neural_speech_decoding_tpu.runtime.stream import StreamDecoder

@@ -151,3 +151,30 @@ def test_streamlit_app_compiles():
         / "neural_speech_decoding_tpu/frontend/app.py"
     )
     py_compile.compile(str(path), doraise=True)
+
+
+def test_server_resolves_manifest_engine(tmp_path):
+    """/api routes serve a fit_ensemble manifest path through
+    EnsembleEngine (cached by path)."""
+    import jax
+
+    from neural_speech_decoding_tpu.frontend import server as srv
+    from neural_speech_decoding_tpu.io.params_io import save_params_npz
+    from neural_speech_decoding_tpu.models.registry import get_model
+    from neural_speech_decoding_tpu.runtime.ensemble import EnsembleEngine
+
+    spec = get_model("logcov")
+    paths = []
+    for s in range(2):
+        p = tmp_path / f"m{s}.npz"
+        save_params_npz(p, spec.init(jax.random.PRNGKey(s)))
+        paths.append(str(p))
+    manifest = tmp_path / "x_manifest.json"
+    manifest.write_text(json.dumps({"model": "logcov", "members": paths}))
+
+    eng = srv._resolve_engine("logcov", str(manifest))
+    assert isinstance(eng, EnsembleEngine)
+    # cached under the path, and reused on the next resolve
+    assert srv._resolve_engine("logcov", str(manifest)) is eng
+    # plain family lookup stays None until an engine is cached
+    assert srv._resolve_engine("eegnet", None) is None
