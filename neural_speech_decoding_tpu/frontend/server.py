@@ -107,16 +107,30 @@ STATE = _State()
 
 
 def _resolve_engine(family: str, model_path):
-    """Cached engine lookup keyed by checkpoint path (or family for the
-    default checkpoint). A fit_ensemble *_manifest.json path serves the
-    seed ensemble through the same predict surface."""
-    key = str(model_path) if model_path else family
+    """Cached engine lookup, keyed by (family, checkpoint path) so a
+    wrong-family request can never poison the right-family entry. Builds
+    and caches the engine for every path kind: a fit_ensemble
+    *_manifest.json serves the seed ensemble, anything else (or None, for
+    the default checkpoint) an InferenceEngine — the decode route used to
+    rebuild (and recompile) a throwaway engine per request."""
+    key = (family, str(model_path) if model_path else None)
     engine = STATE.engines.get(key)
-    if engine is None and model_path and str(model_path).endswith(".json"):
+    if engine is not None:
+        return engine
+    if model_path and str(model_path).endswith(".json"):
         from neural_speech_decoding_tpu.runtime.ensemble import EnsembleEngine
 
         engine = EnsembleEngine.from_manifest(str(model_path))
-        STATE.engines[key] = engine
+    else:
+        from neural_speech_decoding_tpu.runtime.engine import InferenceEngine
+        from neural_speech_decoding_tpu.runtime.tester import default_model_path
+
+        engine = InferenceEngine(
+            str(model_path) if model_path else default_model_path(),
+            model=family,
+            class_names=("Food", "Water", "None") if family == "lstm" else None,
+        )
+    STATE.engines[key] = engine
     return engine
 
 
@@ -182,16 +196,6 @@ class Handler(BaseHTTPRequestHandler):
             family = req.get("family", "lstm")
             model_path = req.get("model_path") or None
             engine = _resolve_engine(family, model_path)
-            if engine is None:
-                from neural_speech_decoding_tpu.runtime.engine import InferenceEngine
-                from neural_speech_decoding_tpu.runtime.tester import default_model_path
-
-                engine = InferenceEngine(
-                    model_path or default_model_path(),
-                    model=family,
-                    class_names=("Food", "Water", "None") if family == "lstm" else None,
-                )
-                STATE.engines[str(model_path) if model_path else family] = engine
 
             from neural_speech_decoding_tpu.runtime.board import open_board
             from neural_speech_decoding_tpu.runtime.stream import StreamDecoder
@@ -232,16 +236,7 @@ def serve(port: int = 8777, warm_family: Optional[str] = "lstm"):
     so the first device snapshot doesn't pay the XLA compile."""
     if warm_family:
         try:
-            from neural_speech_decoding_tpu.runtime.engine import InferenceEngine
-            from neural_speech_decoding_tpu.runtime.tester import default_model_path
-
-            eng = InferenceEngine(
-                default_model_path(),
-                class_names=("Food", "Water", "None"),
-                model=warm_family,
-            )
-            eng.warmup([1])
-            STATE.engines[warm_family] = eng
+            _resolve_engine(warm_family, None).warmup([1])
         except Exception as exc:  # no checkpoint available — lazy path
             print(f"warmup skipped: {exc}")
     server = ThreadingHTTPServer(("127.0.0.1", port), Handler)

@@ -75,10 +75,23 @@ class LogCovConfig:
     logm: str = "chebyshev"
     # Chebyshev fit of log on this normalized-eigenvalue interval. The
     # shrinkage floor guarantees lambda_norm >= shrinkage for unwhitened
-    # covariances; whitened ones measure >= 0.013 on the shipped dataset
-    # even under aggressive augmentation (3x margin kept).
-    cheb_interval: Tuple[float, float] = (0.004, 8.0)
-    cheb_degree: int = 256
+    # covariances (enforced below); whitened ones measure >= 0.013 on the
+    # shipped dataset even under aggressive augmentation (6x margin kept).
+    # Out-of-domain eigenvalues (e.g. a flatlined channel under a whitener
+    # fitted when it was live) produce divergent features for that window —
+    # the same practical outcome as the eigh path's clamped log(1e-12)
+    # spikes: garbage in, garbage prediction for that window either way.
+    cheb_interval: Tuple[float, float] = (0.002, 8.0)
+    cheb_degree: int = 320
+
+    def __post_init__(self):
+        if self.logm != "eigh" and self.shrinkage < self.cheb_interval[0]:
+            raise ValueError(
+                f"shrinkage={self.shrinkage} is below the Chebyshev "
+                f"interval floor {self.cheb_interval[0]} — the polynomial "
+                "logm needs the shrinkage eigenvalue guarantee; raise "
+                "shrinkage, widen cheb_interval, or use logm='eigh'"
+            )
 
 
 def _num_features(cfg: LogCovConfig) -> int:
@@ -102,8 +115,9 @@ def init_logcov_params(rng: jax.Array, cfg: LogCovConfig) -> Params:
     }
     if cfg.whiten:
         # identity until fit_whitener runs — a fixed buffer, excluded from
-        # gradients by stop_gradient in logcov_features (keep weight_decay
-        # at 0 for this family or the optimizer would still decay it)
+        # gradients by stop_gradient in logcov_features and from adamw's
+        # decoupled weight decay by the optimizer's "whitener" mask
+        # (train/loop._optimizer)
         params["whitener"] = jnp.broadcast_to(
             jnp.eye(cfg.num_channels, dtype=jnp.float32),
             (len(cfg.bands), cfg.num_channels, cfg.num_channels),
@@ -276,9 +290,12 @@ def logcov_apply(
 ) -> jnp.ndarray:
     if train and rng is None:
         raise ValueError("train=True requires rng")
-    f = logcov_features(
-        x_btc, cfg, whitener=params.get("whitener") if cfg.whiten else None
-    )
+    # whitening keys off the CHECKPOINT, not the config: a params pytree
+    # carrying a fitted "whitener" buffer is always served whitened, so a
+    # whitened checkpoint loaded under a default config (no model_kw) can
+    # never be silently decoded against the wrong tangent point.
+    # cfg.whiten only controls init/fit (whether the buffer exists at all).
+    f = logcov_features(x_btc, cfg, whitener=params.get("whitener"))
     mean = jnp.mean(f, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(f - mean), axis=-1, keepdims=True)
     f = (f - mean) / jnp.sqrt(var + cfg.ln_eps)

@@ -171,6 +171,26 @@ def available_models() -> Tuple[str, ...]:
     return tuple(sorted(_BUILDERS))
 
 
+def parse_model_kw(pairs) -> Dict[str, Any]:
+    """CLI "--model-kw KEY=VALUE" strings -> config-override dict: values
+    parse as JSON (falling back to string), dashes become underscores,
+    get_model freezes lists. Shared by every CLI that exposes the flag
+    (crossval, fit_ensemble, tester, train)."""
+    import json
+
+    kw: Dict[str, Any] = {}
+    for pair in pairs:
+        key, eq, raw = pair.partition("=")
+        if not eq:
+            raise SystemExit(f"--model-kw expects KEY=VALUE, got {pair!r}")
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        kw[key.replace("-", "_")] = val
+    return kw
+
+
 def _freeze(value: Any) -> Any:
     """JSON-decoded override values -> hashable (lists become tuples), so
     frozen dataclass configs keep working as jit statics / cache keys."""

@@ -27,7 +27,6 @@ throughput stats (the BASELINE.md north-star metrics).
 
 from __future__ import annotations
 
-import json
 import os
 import queue
 import time
@@ -246,27 +245,27 @@ def main() -> None:
 
         board = open_board(args.board, speed=args.speed)
 
-    model_kw = {}
-    for pair in args.model_kw:
-        key, eq, raw = pair.partition("=")
-        if not eq:
-            raise SystemExit(f"--model-kw expects KEY=VALUE, got {pair!r}")
-        try:
-            val = json.loads(raw)
-        except json.JSONDecodeError:
-            val = raw
-        model_kw[key.replace("-", "_")] = val
+    from neural_speech_decoding_tpu.models.registry import parse_model_kw
+
+    model_kw = parse_model_kw(args.model_kw)
 
     engine = None
     if args.model and args.model.endswith(".json"):
         from neural_speech_decoding_tpu.runtime.ensemble import EnsembleEngine
 
-        engine = EnsembleEngine.from_manifest(args.model)
+        # explicit --model-kw overrides win over the manifest's recorded kw
+        engine = EnsembleEngine.from_manifest(
+            args.model, **({"model_kw": model_kw} if model_kw else {})
+        )
     elif model_kw:
         engine = InferenceEngine(
             args.model or default_model_path(),
             model=args.family,
             model_kw=model_kw,
+            # reference class-name quirk preserved (reference tester.py:85)
+            class_names=(
+                ("Food", "Water", "None") if args.family == "lstm" else None
+            ),
         )
 
     result, stats = run_trials_ex(

@@ -65,17 +65,9 @@ def main() -> None:
 
         jax.config.update("jax_platforms", args.platform)
 
-    model_kw = {}
-    for pair in args.model_kw:
-        key, eq, raw = pair.partition("=")
-        if not eq:
-            raise SystemExit(f"--model-kw expects KEY=VALUE, got {pair!r}")
-        try:
-            val = json.loads(raw)
-        except json.JSONDecodeError:
-            val = raw
-        model_kw[key.replace("-", "_")] = val
+    from neural_speech_decoding_tpu.models.registry import parse_model_kw
 
+    model_kw = parse_model_kw(args.model_kw)
     spec = get_model(args.model, **model_kw)
     prefixes = (
         FIVE_CLASS_PREFIXES if len(spec.class_names) == 5 else THREE_CLASS_PREFIXES

@@ -161,11 +161,21 @@ def _optimizer(
         lr = cfg.learning_rate
     else:
         raise ValueError(f"unknown schedule {cfg.schedule!r}")
-    tx = (
-        optax.adamw(lr, weight_decay=cfg.weight_decay)
-        if cfg.weight_decay > 0
-        else optax.adam(lr)
-    )
+    if cfg.weight_decay > 0:
+        # decoupled decay must not touch non-trainable fitted buffers
+        # (zero gradient does not protect against adamw's multiplicative
+        # decay): mask out any "whitener" leaf (logcov tangent point)
+        def _decay_mask(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: not any(
+                    getattr(k, "key", None) == "whitener" for k in path
+                ),
+                params,
+            )
+
+        tx = optax.adamw(lr, weight_decay=cfg.weight_decay, mask=_decay_mask)
+    else:
+        tx = optax.adam(lr)
     if cfg.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
     return tx

@@ -174,7 +174,10 @@ def test_server_resolves_manifest_engine(tmp_path):
 
     eng = srv._resolve_engine("logcov", str(manifest))
     assert isinstance(eng, EnsembleEngine)
-    # cached under the path, and reused on the next resolve
+    # cached under (family, path), and reused on the next resolve
     assert srv._resolve_engine("logcov", str(manifest)) is eng
-    # plain family lookup stays None until an engine is cached
-    assert srv._resolve_engine("eegnet", None) is None
+    # a wrong-family construction error does NOT poison the cache: the
+    # default checkpoint is a .pth, which non-lstm families must reject
+    with pytest.raises(ValueError):
+        srv._resolve_engine("eegnet", None)
+    assert ("eegnet", None) not in srv.STATE.engines

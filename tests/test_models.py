@@ -40,7 +40,10 @@ def test_logcov_band_cov_is_parseval_cov(windows):
         band_covariances,
     )
 
-    cfg = LogCovConfig(bands=((0.0, 63.0),), shrinkage=0.0)
+    # shrinkage 0 needs the exact-eigh backend (the polynomial logm's
+    # config validation enforces its eigenvalue floor); band_covariances
+    # itself is logm-agnostic
+    cfg = LogCovConfig(bands=((0.0, 63.0),), shrinkage=0.0, logm="eigh")
     s = np.asarray(band_covariances(windows, cfg))[:, 0]
     for i, w in enumerate(windows):
         xc = w - w.mean(0)
@@ -217,3 +220,15 @@ def test_logcov_whiten_trains_and_roundtrips(tmp_path, windows):
     )
     logits = spec.apply(back, windows[:2])
     assert logits.shape == (2, 3)
+
+
+def test_whitened_checkpoint_serves_without_model_kw(windows):
+    """Whitening keys off the checkpoint: a params pytree with a fitted
+    whitener decodes identically under the DEFAULT config (no model_kw) —
+    a whitened deployment artifact can never be silently served against
+    the wrong tangent point."""
+    spec_w = get_model("logcov", whiten=True)
+    params = spec_w.fit(spec_w.init(jax.random.PRNGKey(0)), windows[:16], None)
+    with_kw = np.asarray(spec_w.apply(params, windows[:4]))
+    plain = np.asarray(get_model("logcov").apply(params, windows[:4]))
+    np.testing.assert_allclose(plain, with_kw, atol=1e-6)

@@ -55,20 +55,9 @@ REFERENCE_CKPT = (
 )
 
 
-def parse_model_kw(pairs) -> dict:
-    """--model-kw KEY=VALUE strings -> config-override dict (values parse
-    as JSON, falling back to string; get_model freezes lists)."""
-    kw = {}
-    for pair in pairs:
-        key, eq, raw = pair.partition("=")
-        if not eq:
-            raise SystemExit(f"--model-kw expects KEY=VALUE, got {pair!r}")
-        try:
-            val = json.loads(raw)
-        except json.JSONDecodeError:
-            val = raw
-        kw[key.replace("-", "_")] = val
-    return kw
+from neural_speech_decoding_tpu.models.registry import (  # noqa: E402
+    parse_model_kw,  # re-exported: fit_ensemble imports it from here
+)
 
 
 def stratified_folds(labels: np.ndarray, k: int, seed: int = 0):
