@@ -224,6 +224,7 @@ def train(
     y_train = train_ds.labels.astype(np.int32)
     y_val = val_ds.labels.astype(np.int32)
 
+    x_clean, y_clean = x_train, y_train  # pre-augmentation training data
     if train_cfg.augment_prob > 0:
         from neural_speech_decoding_tpu.train.augment import (
             ALL_KINDS,
@@ -244,8 +245,10 @@ def train(
         init_params = spec.init(k) if spec is not None else init_decoder_params(k, decoder_cfg)
         if spec is not None and spec.fit is not None:
             # data-dependent init (e.g. logcov tangent-point whitener) —
-            # training data only; a resumed init_params already carries it
-            init_params = spec.fit(init_params, x_train, y_train)
+            # CLEAN training data only (never the eval split, and not the
+            # augmented copies: injected bursts/flatlines would distort the
+            # fitted mean covariance); a resumed init_params carries it
+            init_params = spec.fit(init_params, x_clean, y_clean)
 
     steps_per_epoch = max(1, x_train.shape[0] // max(1, train_cfg.batch_size))
     optimizer = _optimizer(train_cfg, steps_per_epoch)

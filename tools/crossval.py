@@ -198,9 +198,11 @@ def run_crossval(
             rng, k = jax.random.split(rng)
             params = spec.init(k)
             if spec.fit is not None:
-                # data-dependent init (e.g. logcov whitener) — fold's
-                # training windows only, never the eval fold
-                params = spec.fit(params, x_train, y_train)
+                # data-dependent init (e.g. logcov whitener) — the fold's
+                # CLEAN training windows only: never the eval fold, and not
+                # the augmented copies (injected noise distorts the fitted
+                # mean covariance)
+                params = spec.fit(params, x_base, y_base)
             opt_state = optimizer.init(params)
             np_rng = np.random.default_rng(member_seed)
             best_outer = -1.0  # the biased protocol, for comparison only
