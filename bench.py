@@ -226,20 +226,22 @@ def ensemble_windows_per_sec(
     batch = jnp.asarray(
         np.tile(windows, (reps, 1, 1))[:TPU_BATCH], dtype=jnp.float32
     )
-    np.asarray(ens._pipeline(ens.params, batch))  # warm compile
+    # apply_ex families (logcov guard) return (probs, flags); time probs
+    probs_of = (lambda o: o[0]) if ens._has_aux else (lambda o: o)
+    np.asarray(probs_of(ens._pipeline(ens.params, batch)))  # warm compile
     t0 = time.perf_counter()
     out = None
     for _ in range(TPU_ITERS):
         out = ens._pipeline(ens.params, batch)
-    np.asarray(out)
+    np.asarray(probs_of(out))
     wps = TPU_BATCH * TPU_ITERS / (time.perf_counter() - t0)
 
     one = batch[:1]
-    np.asarray(ens._pipeline(ens.params, one))
+    np.asarray(probs_of(ens._pipeline(ens.params, one)))
     lat = []
     for _ in range(20):
         t0 = time.perf_counter()
-        np.asarray(ens._pipeline(ens.params, one))
+        np.asarray(probs_of(ens._pipeline(ens.params, one)))
         lat.append(time.perf_counter() - t0)
     return wps, ens.num_members, device_kind, float(np.median(lat) * 1e3)
 
@@ -306,6 +308,20 @@ def main() -> None:
         print(f"# cpu baseline unavailable: {e}", file=sys.stderr)
         cpu_wps = float("nan")
     vs = tpu_wps / cpu_wps if np.isfinite(cpu_wps) else None
+    # the accuracy flagship's serving throughput (whitened logcov8 via its
+    # deployment manifest) — the repo's best full-fidelity decoder, in the
+    # driver-captured record rather than only behind --ensemble
+    flagship_wps = None
+    flagship_manifest = REPO_ROOT / "checkpoints" / "logcov8w_deploy_manifest.json"
+    if flagship_manifest.is_file():
+        try:
+            flagship_wps, _, _, _ = ensemble_windows_per_sec(
+                windows, str(flagship_manifest)
+            )
+        except Exception as e:
+            print(f"# flagship bench unavailable: {e}", file=sys.stderr)
+    from neural_speech_decoding_tpu.config import DecoderConfig
+
     print(
         json.dumps(
             {
@@ -315,6 +331,12 @@ def main() -> None:
                 "vs_baseline": round(vs, 1) if vs else None,
                 "cpu_reference_wps": round(cpu_wps, 2) if np.isfinite(cpu_wps) else None,
                 "turbo_bf16_wps": round(turbo_wps, 1),
+                # fidelity mode of the headline number: "rational" = ~1-ulp
+                # gate activations (the deliberate ~11% r01->r02 throughput
+                # trade that bought <=1e-4 on-chip fidelity; turbo_bf16_wps
+                # is the speed-over-fidelity figure)
+                "gate_math": DecoderConfig().gate_math,
+                "flagship_wps": round(flagship_wps, 1) if flagship_wps else None,
                 "batch1_p50_latency_ms": round(p50_ms, 2),
                 "batch": TPU_BATCH,
                 "device": device_kind,

@@ -98,39 +98,75 @@ fetch('/api/state').then(r => r.json()).then(render);
 
 class _State:
     def __init__(self):
-        self.lock = threading.Lock()
+        self.lock = threading.Lock()  # snapshot + engine-dict access
+        self.build_lock = threading.Lock()  # serializes engine builds
         self.snapshot = common.Snapshot(status="Press Start to begin.")
-        self.engines = {}  # family -> warmed InferenceEngine
+        self.engines = {}  # (family, path, mtime) -> warmed engine
 
 
 STATE = _State()
 
+_ENGINE_CACHE_MAX = 8
+
 
 def _resolve_engine(family: str, model_path):
-    """Cached engine lookup, keyed by (family, checkpoint path) so a
-    wrong-family request can never poison the right-family entry. Builds
-    and caches the engine for every path kind: a fit_ensemble
-    *_manifest.json serves the seed ensemble, anything else (or None, for
-    the default checkpoint) an InferenceEngine — the decode route used to
-    rebuild (and recompile) a throwaway engine per request."""
-    key = (family, str(model_path) if model_path else None)
-    engine = STATE.engines.get(key)
-    if engine is not None:
-        return engine
-    if model_path and str(model_path).endswith(".json"):
-        from neural_speech_decoding_tpu.runtime.ensemble import EnsembleEngine
+    """Cached engine lookup, keyed by (family, checkpoint path, file
+    mtime). The mtime key invalidates stale entries when a checkpoint is
+    refit at the same path; the cache is LRU-bounded; manifest requests
+    validate the requested family against the manifest's own model so a
+    wrong-family request errors instead of silently serving (and caching)
+    the wrong ensemble. Builds happen under a dedicated build lock —
+    concurrent first requests serialize on the ~30 s XLA compile instead
+    of duplicating it — while the snapshot lock is never held across a
+    build."""
+    import os
 
-        engine = EnsembleEngine.from_manifest(str(model_path))
-    else:
-        from neural_speech_decoding_tpu.runtime.engine import InferenceEngine
-        from neural_speech_decoding_tpu.runtime.tester import default_model_path
+    path = str(model_path) if model_path else None
+    mtime = None
+    if path:
+        try:
+            mtime = os.path.getmtime(path)
+        except OSError:
+            pass  # missing file surfaces as the engine's own error below
+    key = (family, path, mtime)
+    with STATE.lock:
+        engine = STATE.engines.get(key)
+        if engine is not None:
+            STATE.engines[key] = STATE.engines.pop(key)  # LRU touch
+            return engine
+    with STATE.build_lock:
+        with STATE.lock:  # lost the race to another builder?
+            engine = STATE.engines.get(key)
+            if engine is not None:
+                return engine
+        if path and path.endswith(".json"):
+            import json as _json
+            from pathlib import Path as _Path
 
-        engine = InferenceEngine(
-            str(model_path) if model_path else default_model_path(),
-            model=family,
-            class_names=("Food", "Water", "None") if family == "lstm" else None,
-        )
-    STATE.engines[key] = engine
+            from neural_speech_decoding_tpu.runtime.ensemble import EnsembleEngine
+
+            manifest_model = _json.loads(_Path(path).read_text()).get(
+                "model", "lstm"
+            )
+            if family and family != manifest_model:
+                raise ValueError(
+                    f"requested family {family!r} but manifest {path} "
+                    f"serves model {manifest_model!r}"
+                )
+            engine = EnsembleEngine.from_manifest(path)
+        else:
+            from neural_speech_decoding_tpu.runtime.engine import InferenceEngine
+            from neural_speech_decoding_tpu.runtime.tester import default_model_path
+
+            engine = InferenceEngine(
+                path or default_model_path(),
+                model=family,
+                class_names=("Food", "Water", "None") if family == "lstm" else None,
+            )
+        with STATE.lock:
+            STATE.engines[key] = engine
+            while len(STATE.engines) > _ENGINE_CACHE_MAX:
+                STATE.engines.pop(next(iter(STATE.engines)))
     return engine
 
 
@@ -226,6 +262,11 @@ class Handler(BaseHTTPRequestHandler):
                 "latency_p50_ms": stats.latency.percentile(50) * 1e3,
                 "latency_p90_ms": stats.latency.percentile(90) * 1e3,
             }
+            # logcov spectrum-guard counter (engine.stats) — degraded
+            # windows are reported to the dashboard, not silently decoded
+            engine_stats = getattr(engine, "stats", None)
+            if isinstance(engine_stats, dict):
+                body["guard_flagged"] = engine_stats.get("guard_flagged", 0)
             self._send(200, json.dumps(body).encode())
         except Exception as exc:
             self._send(500, json.dumps({"error": str(exc)}).encode())

@@ -77,12 +77,21 @@ class LogCovConfig:
     # shrinkage floor guarantees lambda_norm >= shrinkage for unwhitened
     # covariances (enforced below); whitened ones measure >= 0.013 on the
     # shipped dataset even under aggressive augmentation (6x margin kept).
-    # Out-of-domain eigenvalues (e.g. a flatlined channel under a whitener
-    # fitted when it was live) produce divergent features for that window —
-    # the same practical outcome as the eigh path's clamped log(1e-12)
-    # spikes: garbage in, garbage prediction for that window either way.
+    # Out-of-domain eigenvalues (e.g. a railed channel, or a flatline of a
+    # channel the whitener expected to run hot) make the degree-320
+    # polynomial return silent garbage — bounded (trace normalization caps
+    # the extrapolation at x=-1.0005) but wrong-sign/magnitude, e.g. +26
+    # where the exact log is -7.4. The whitened serving path therefore
+    # runs a per-window spectrum guard (guard_domain below): a Cholesky
+    # test of lambda_min(S/tr) >= lo flags offending matrices and shrinks
+    # ONLY those back into the domain; in-domain windows pass
+    # bit-identical. See tests/test_logcov_guard.py.
     cheb_interval: Tuple[float, float] = (0.002, 8.0)
     cheb_degree: int = 320
+    # spectrum-guard switch for the polynomial logm backends. On by
+    # default; turning it off restores the unguarded round-2 behavior
+    # (useful only for kernel microbenchmarks).
+    guard_domain: bool = True
 
     def __post_init__(self):
         if self.logm != "eigh" and self.shrinkage < self.cheb_interval[0]:
@@ -243,17 +252,99 @@ def _logm_spd_chebyshev(s: jnp.ndarray, cfg: LogCovConfig) -> jnp.ndarray:
     return logm_a + jnp.log(trace) * eye
 
 
+def domain_flags(s: jnp.ndarray, cfg: LogCovConfig) -> jnp.ndarray:
+    """Per-matrix bool [..,]: trace-normalized spectrum outside the
+    Chebyshev fit domain [lo, hi].
+
+    lambda_min(A) >= lo iff A - lo*I is PSD iff its Cholesky factor is
+    finite (XLA returns NaN rows on an indefinite input) — an exact test,
+    one batched C x C Cholesky, no eigensolver. The upper edge is free for
+    the default interval: a trace-normalized SPD matrix has eigenvalues
+    summing to C, so lambda_max <= C = hi; a custom hi < C adds the mirror
+    Cholesky test."""
+    c = s.shape[-1]
+    lo, hi = cfg.cheb_interval
+    eye = jnp.eye(c, dtype=s.dtype)
+    tr = jnp.maximum(jnp.trace(s, axis1=-2, axis2=-1), 1e-30)[..., None, None] / c
+    a = s / tr
+
+    def psd(m):
+        ch = jnp.linalg.cholesky(m)
+        return jnp.all(jnp.isfinite(ch), axis=(-2, -1))
+
+    bad = ~psd(a - lo * eye)
+    if hi < c:
+        bad = bad | ~psd(hi * eye - a)
+    return bad
+
+
+def _guard_strength(cfg: LogCovConfig) -> float:
+    """Shrinkage coefficient g such that (1-g)*S + g*(tr/C)*I is certain to
+    land in the Chebyshev domain: lambda'_norm = (1-g)*lambda_norm + g, so
+    g >= lo floors the spectrum, and for a custom hi < C the upper edge
+    needs g >= (C-hi)/(C-1) since lambda_norm <= C."""
+    c = cfg.num_channels
+    lo, hi = cfg.cheb_interval
+    g = max(cfg.shrinkage, 2.0 * lo)
+    if hi < c:
+        g = max(g, (c - hi) / (c - 1.0) * 1.001)
+    return g
+
+
+def guard_spectrum(
+    s: jnp.ndarray, cfg: LogCovConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Clamp out-of-domain matrices back into the Chebyshev domain.
+
+    Returns (guarded [.., C, C], flags [..]). Flagged matrices are shrunk
+    toward (tr/C)*I hard enough to guarantee the domain (so the polynomial
+    evaluates a bounded, identity-like log instead of extrapolating);
+    unflagged matrices pass through bit-identical, preserving parity with
+    checkpoints trained without the guard."""
+    bad = domain_flags(s, cfg)
+    c = s.shape[-1]
+    tr = jnp.trace(s, axis1=-2, axis2=-1)[..., None, None] / c
+    eye = jnp.eye(c, dtype=s.dtype)
+    g = _guard_strength(cfg)
+    shrunk = (1.0 - g) * s + g * (tr + 1e-12) * eye
+    return jnp.where(bad[..., None, None], shrunk, s), bad
+
+
 def logcov_features(
     x_btc: jnp.ndarray,
     cfg: LogCovConfig,
     whitener: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """[B, T, C] -> tangent-space feature vectors [B, n_features]."""
+    *,
+    with_flags: bool = False,
+):
+    """[B, T, C] -> tangent-space feature vectors [B, n_features].
+
+    `with_flags=True` additionally returns the per-window guard flags
+    [B] bool (any band's covariance outside the Chebyshev domain — the
+    runtime fault signal the reference's own fault injectors motivate,
+    reference: Minds_AI_Filter_Real-time_Signal_Analysis.py:141-162)."""
     s = band_covariances(x_btc.astype(jnp.float32), cfg)
     if whitener is not None:
         w0 = jax.lax.stop_gradient(whitener)  # fixed buffer, not a weight
         s = jnp.einsum("nij,bnjk,nkl->bnil", w0, s, w0)
         s = 0.5 * (s + jnp.swapaxes(s, -1, -2))
+    # Spectrum guard: the shrinkage floor in band_covariances guarantees
+    # the domain for UNWHITENED covariances (enforced in __post_init__),
+    # but whitening re-scales the spectrum with no such bound, and a
+    # custom hi < C interval is unguaranteed either way. Only the
+    # polynomial backends extrapolate; eigh degrades boundedly on its own.
+    flags = None
+    polynomial = cfg.logm in ("chebyshev", "chebyshev_scan")
+    at_risk = whitener is not None or cfg.cheb_interval[1] < cfg.num_channels
+    if cfg.guard_domain and polynomial and at_risk:
+        s, band_flags = guard_spectrum(s, cfg)
+        flags = jnp.any(band_flags, axis=-1)
+    elif with_flags:
+        flags = (
+            jnp.any(domain_flags(s, cfg), axis=-1)
+            if at_risk
+            else jnp.zeros(s.shape[0], bool)
+        )
     if cfg.logm == "chebyshev" and jax.default_backend() == "tpu":
         # trace-time dispatch: jit targets the default backend here
         from neural_speech_decoding_tpu.ops.pallas.logm import (
@@ -277,7 +368,44 @@ def logcov_features(
     iu, ju = jnp.triu_indices(c)
     weights = jnp.where(iu == ju, 1.0, jnp.sqrt(2.0)).astype(jnp.float32)
     feats = logm[..., iu, ju] * weights  # [B, nb, C(C+1)/2]
-    return feats.reshape(feats.shape[0], -1)
+    feats = feats.reshape(feats.shape[0], -1)
+    if with_flags:
+        if flags is None:
+            flags = jnp.zeros(feats.shape[0], bool)
+        return feats, flags
+    return feats
+
+
+def logcov_apply_ex(
+    params: Params,
+    x_btc: jnp.ndarray,
+    cfg: LogCovConfig = LogCovConfig(),
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """logcov_apply plus an aux dict: {"domain_flags": [B] bool} — windows
+    whose (whitened) covariance spectrum fell outside the Chebyshev domain
+    and was clamped by guard_spectrum. Serving engines surface the count
+    in their stats so degraded electrodes are detected, not silent."""
+    if train and rng is None:
+        raise ValueError("train=True requires rng")
+    # whitening keys off the CHECKPOINT, not the config: a params pytree
+    # carrying a fitted "whitener" buffer is always served whitened, so a
+    # whitened checkpoint loaded under a default config (no model_kw) can
+    # never be silently decoded against the wrong tangent point.
+    # cfg.whiten only controls init/fit (whether the buffer exists at all).
+    f, flags = logcov_features(
+        x_btc, cfg, whitener=params.get("whitener"), with_flags=True
+    )
+    mean = jnp.mean(f, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(f - mean), axis=-1, keepdims=True)
+    f = (f - mean) / jnp.sqrt(var + cfg.ln_eps)
+    f = f * params["ln"]["scale"] + params["ln"]["bias"]
+    if train and cfg.dropout > 0:
+        keep = 1.0 - cfg.dropout
+        f = jnp.where(jax.random.bernoulli(rng, keep, f.shape), f / keep, 0.0)
+    return f @ params["head"]["w"] + params["head"]["b"], {"domain_flags": flags}
 
 
 def logcov_apply(
@@ -288,19 +416,4 @@ def logcov_apply(
     train: bool = False,
     rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    if train and rng is None:
-        raise ValueError("train=True requires rng")
-    # whitening keys off the CHECKPOINT, not the config: a params pytree
-    # carrying a fitted "whitener" buffer is always served whitened, so a
-    # whitened checkpoint loaded under a default config (no model_kw) can
-    # never be silently decoded against the wrong tangent point.
-    # cfg.whiten only controls init/fit (whether the buffer exists at all).
-    f = logcov_features(x_btc, cfg, whitener=params.get("whitener"))
-    mean = jnp.mean(f, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(f - mean), axis=-1, keepdims=True)
-    f = (f - mean) / jnp.sqrt(var + cfg.ln_eps)
-    f = f * params["ln"]["scale"] + params["ln"]["bias"]
-    if train and cfg.dropout > 0:
-        keep = 1.0 - cfg.dropout
-        f = jnp.where(jax.random.bernoulli(rng, keep, f.shape), f / keep, 0.0)
-    return f @ params["head"]["w"] + params["head"]["b"]
+    return logcov_apply_ex(params, x_btc, cfg, train=train, rng=rng)[0]

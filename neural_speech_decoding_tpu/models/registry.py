@@ -40,6 +40,11 @@ class ModelSpec:
     # tangent-point whitener). Callers (train loop, crossval) invoke it
     # right after spec.init; it must never see evaluation data.
     fit: "Callable[[Any, Any, Any], Any] | None" = None
+    # optional extended apply: (params, x, *, train, rng) -> (logits, aux)
+    # where aux is a dict of per-window diagnostics (e.g. the logcov
+    # spectrum-guard "domain_flags"). Serving engines use it when present
+    # to surface runtime health counters; apply stays the plain surface.
+    apply_ex: "Callable[..., Any] | None" = None
 
 
 def _lstm_spec(name: str, num_classes: int, class_names, **cfg_kw) -> "ModelSpec":
@@ -110,6 +115,9 @@ def _logcov_spec(name: str, num_classes: int, class_names, **cfg_kw) -> "ModelSp
             (lambda p, x, y=None: _logcov.fit_whitener(p, x, y, cfg=cfg))
             if cfg.whiten
             else None
+        ),
+        apply_ex=lambda p, x, *, train=False, rng=None: _logcov.logcov_apply_ex(
+            p, x, cfg, train=train, rng=rng
         ),
     )
 

@@ -97,6 +97,11 @@ class InferenceEngine:
         if turbo:
             decoder_cfg = _dc.replace(decoder_cfg, recurrence_dtype="bfloat16")
 
+        # families exposing apply_ex (logcov's spectrum guard) also emit
+        # per-window domain flags; the pipeline carries them out so serving
+        # surfaces degraded-electrode windows in self.stats instead of
+        # silently decoding garbage
+        self._has_aux = (not model.startswith("lstm")) and spec.apply_ex is not None
         if model.startswith("lstm"):
             # reference-parity path: honor any custom DecoderConfig coming
             # through PipelineConfig (SimplePredictor compat surface)
@@ -104,14 +109,40 @@ class InferenceEngine:
         else:
             apply_fn = lambda p, x: spec.apply(p, x, train=False)  # noqa: E731
 
-        def _pipeline(p, windows_btc: jnp.ndarray) -> jnp.ndarray:
-            filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
-            return jax.nn.softmax(apply_fn(p, filtered), axis=-1)
+        if self._has_aux:
+
+            def _pipeline(p, windows_btc: jnp.ndarray):
+                filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
+                logits, aux = spec.apply_ex(p, filtered, train=False)
+                return jax.nn.softmax(logits, axis=-1), aux["domain_flags"]
+
+        else:
+
+            def _pipeline(p, windows_btc: jnp.ndarray) -> jnp.ndarray:
+                filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
+                return jax.nn.softmax(apply_fn(p, filtered), axis=-1)
 
         self._pipeline = jax.jit(_pipeline)
         self._compiled_buckets: Dict[int, bool] = {}
+        # guard-counter surface: windows decoded / windows whose covariance
+        # spectrum was clamped by the logcov domain guard (always 0 for
+        # families without apply_ex). Async dispatches park their device
+        # flag vectors in _flag_futures; stats() folds them in.
+        self._stats = {"windows": 0, "guard_flagged": 0}
+        self._flag_futures: list = []
 
     # -- public API -----------------------------------------------------
+    @property
+    def stats(self) -> Dict[str, int]:
+        """{"windows", "guard_flagged"} — folds any parked async flag
+        vectors (one bulk host fetch) before returning."""
+        if self._flag_futures:
+            for flags, b in self._flag_futures:
+                self._stats["guard_flagged"] += int(np.asarray(flags)[:b].sum())
+                self._stats["windows"] += b
+            self._flag_futures.clear()
+        return dict(self._stats)
+
     def warmup(self, batch_sizes: Sequence[int] = (1,)) -> None:
         t, c = self.config.window_samples, self.config.num_channels
         for b in batch_sizes:
@@ -119,7 +150,8 @@ class InferenceEngine:
             if b in self._compiled_buckets:
                 continue
             dummy = jnp.zeros((b, t, c), jnp.float32)
-            np.asarray(self._pipeline(self.params, dummy))
+            out = self._pipeline(self.params, dummy)
+            np.asarray(out[0] if self._has_aux else out)
             self._compiled_buckets[b] = True
 
     def predict_batch(self, windows_btc: np.ndarray) -> np.ndarray:
@@ -132,9 +164,15 @@ class InferenceEngine:
         if bb != b:
             pad = np.zeros((bb - b,) + windows_btc.shape[1:], np.float32)
             windows_btc = np.concatenate([windows_btc, pad], axis=0)
-        probs = self._pipeline(self.params, windows_btc)
+        out = self._pipeline(self.params, windows_btc)
         self._compiled_buckets[bb] = True
-        return np.asarray(probs)[:b]
+        if self._has_aux:
+            probs, flags = jax.device_get(out)
+            self._stats["guard_flagged"] += int(flags[:b].sum())
+            self._stats["windows"] += b
+            return np.asarray(probs)[:b]
+        self._stats["windows"] += b
+        return np.asarray(out)[:b]
 
     def predict(self, window_tc: np.ndarray) -> Tuple[np.ndarray, str]:
         """One [T, C] window -> (probs [classes] f32, label str) — the
@@ -144,8 +182,17 @@ class InferenceEngine:
 
     def predict_batch_async(self, windows_btc: jnp.ndarray):
         """Dispatch without blocking; returns the device array future.
-        Callers pipeline acquisition against device compute."""
-        return self._pipeline(self.params, windows_btc)
+        Callers pipeline acquisition against device compute. Guard flags
+        (apply_ex families) are parked device-side and folded into stats
+        on the next stats read — no extra host round-trip here."""
+        out = self._pipeline(self.params, windows_btc)
+        if self._has_aux:
+            probs, flags = out
+            self._flag_futures.append((flags, windows_btc.shape[0]))
+            if len(self._flag_futures) > 4096:  # bound the parked list
+                _ = self.stats
+            return probs
+        return out
 
     def decode_recording(
         self,

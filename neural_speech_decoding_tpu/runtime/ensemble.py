@@ -100,17 +100,35 @@ class EnsembleEngine:
             decoder_cfg = dataclasses.replace(
                 decoder_cfg, recurrence_dtype="bfloat16"
             )
+        self._has_aux = (not model.startswith("lstm")) and spec.apply_ex is not None
         if model.startswith("lstm"):
             apply_fn = lambda p, x: decoder_apply(p, x, decoder_cfg, train=False)  # noqa: E731
         else:
             apply_fn = lambda p, x: spec.apply(p, x, train=False)  # noqa: E731
 
-        def _pipeline(stacked, windows_btc: jnp.ndarray) -> jnp.ndarray:
-            filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
-            logits = jax.vmap(apply_fn, in_axes=(0, None))(stacked, filtered)
-            return jnp.mean(jax.nn.softmax(logits, axis=-1), axis=0)
+        if self._has_aux:
+
+            def _pipeline(stacked, windows_btc: jnp.ndarray):
+                filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
+                logits, aux = jax.vmap(
+                    lambda p, x: spec.apply_ex(p, x, train=False),
+                    in_axes=(0, None),
+                )(stacked, filtered)
+                probs = jnp.mean(jax.nn.softmax(logits, axis=-1), axis=0)
+                # a window is flagged if ANY member's whitener pushed its
+                # covariance out of the Chebyshev domain
+                return probs, jnp.any(aux["domain_flags"], axis=0)
+
+        else:
+
+            def _pipeline(stacked, windows_btc: jnp.ndarray) -> jnp.ndarray:
+                filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
+                logits = jax.vmap(apply_fn, in_axes=(0, None))(stacked, filtered)
+                return jnp.mean(jax.nn.softmax(logits, axis=-1), axis=0)
 
         self._pipeline = jax.jit(_pipeline)
+        self._stats = {"windows": 0, "guard_flagged": 0}
+        self._flag_futures: list = []
 
     @classmethod
     def from_manifest(cls, manifest_path: str, **kw) -> "EnsembleEngine":
@@ -139,14 +157,31 @@ class EnsembleEngine:
         kw.setdefault(
             "model_kw", manifest.get("config", {}).get("model_kw") or None
         )
+        if kw["model"] == "lstm":
+            # reference class-name quirk (reference tester.py:85): every
+            # lstm serving path labels class 2 "None"; manifest serving
+            # matches the InferenceEngine branches instead of falling back
+            # to the spec's "BG-Noise" spelling
+            kw.setdefault("class_names", ("Food", "Water", "None"))
         return cls(members, **kw)
 
     # -- public API (InferenceEngine contract) ---------------------------
+    @property
+    def stats(self):
+        """{"windows", "guard_flagged"} — see InferenceEngine.stats."""
+        if self._flag_futures:
+            for flags, b in self._flag_futures:
+                self._stats["guard_flagged"] += int(np.asarray(flags)[:b].sum())
+                self._stats["windows"] += b
+            self._flag_futures.clear()
+        return dict(self._stats)
+
     def warmup(self, batch_sizes: Sequence[int] = (1,)) -> None:
         t, c = self.config.window_samples, self.config.num_channels
         for b in batch_sizes:
             dummy = jnp.zeros((_bucket(b), t, c), jnp.float32)
-            np.asarray(self._pipeline(self.params, dummy))
+            out = self._pipeline(self.params, dummy)
+            np.asarray(out[0] if self._has_aux else out)
 
     def predict_batch(self, windows_btc: np.ndarray) -> np.ndarray:
         """[B, T, C] -> ensemble-mean probabilities [B, num_classes]."""
@@ -158,11 +193,25 @@ class EnsembleEngine:
         if bb != b:
             pad = np.zeros((bb - b,) + windows_btc.shape[1:], np.float32)
             windows_btc = np.concatenate([windows_btc, pad], axis=0)
-        return np.asarray(self._pipeline(self.params, windows_btc))[:b]
+        out = self._pipeline(self.params, windows_btc)
+        if self._has_aux:
+            probs, flags = jax.device_get(out)
+            self._stats["guard_flagged"] += int(flags[:b].sum())
+            self._stats["windows"] += b
+            return np.asarray(probs)[:b]
+        self._stats["windows"] += b
+        return np.asarray(out)[:b]
 
     def predict(self, window_tc: np.ndarray) -> Tuple[np.ndarray, str]:
         probs = self.predict_batch(window_tc[None])[0]
         return probs.astype(np.float32), self.class_names[int(np.argmax(probs))]
 
     def predict_batch_async(self, windows_btc: jnp.ndarray):
-        return self._pipeline(self.params, windows_btc)
+        out = self._pipeline(self.params, windows_btc)
+        if self._has_aux:
+            probs, flags = out
+            self._flag_futures.append((flags, windows_btc.shape[0]))
+            if len(self._flag_futures) > 4096:
+                _ = self.stats
+            return probs
+        return out

@@ -63,3 +63,10 @@ def test_bench_emits_one_json_line(extra):
     assert payload["value"] > 0
     assert payload["unit"].startswith("windows/s")
     assert "vs_baseline" in payload
+    if not extra:
+        # default line carries the fidelity mode and the flagship number
+        # (VERDICT r2 #4): the driver record should explain the
+        # rational-gates trade and show the repo's best decoder
+        assert payload["gate_math"] == "rational"
+        if (REPO_ROOT / "checkpoints" / "logcov8w_deploy_manifest.json").is_file():
+            assert payload["flagship_wps"] and payload["flagship_wps"] > 0

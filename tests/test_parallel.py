@@ -80,3 +80,67 @@ def test_graft_entry_forward():
     probs = np.asarray(jax.jit(fn)(params, windows))
     assert probs.shape == (8, 3)
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_dp_sharded_logcov_flagship_matches_single_device(dataset):
+    """The accuracy flagship (whitened logcov8, polynomial logm + spectrum
+    guard) decodes dp-sharded over the virtual mesh identically to a
+    single device — the deployment family's multi-chip evidence."""
+    from neural_speech_decoding_tpu.models.registry import get_model
+    from neural_speech_decoding_tpu.ops.kuramoto import mai_filter_batch
+
+    fcfg = FilterConfig(precision="fast")
+    spec = get_model("logcov8", whiten=True, logm="chebyshev_scan")
+    filtered = np.asarray(mai_filter_batch(dataset.windows[:48], fcfg))
+    params = spec.fit(spec.init(jax.random.PRNGKey(0)), filtered[:32])
+    mesh = make_mesh(tp=1)
+
+    def pipeline(p, w):
+        f = jax.vmap(lambda x: mai_filter(x, fcfg))(w)
+        return jax.nn.softmax(spec.apply(p, f, train=False), axis=-1)
+
+    windows = np.asarray(dataset.windows[:16], np.float32)
+    fn, placed = sharded_predict_fn(mesh, pipeline, params)
+    sharded = np.asarray(fn(placed, jax.device_put(windows, batch_sharding(mesh))))
+    single = np.asarray(jax.jit(pipeline)(params, windows))
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-5)
+
+
+def test_dp_sharded_logcov_train_step_matches_single_device(dataset):
+    """One whitened-logcov8 training step, dp-sharded vs single-device:
+    same loss, same updated params (the guard's Cholesky and the Clenshaw
+    scan both partition over batch with no cross-shard math until the
+    psum GSPMD inserts for the loss mean)."""
+    import optax
+
+    from neural_speech_decoding_tpu.models.registry import get_model
+    from neural_speech_decoding_tpu.parallel.sharding import replicate
+    from neural_speech_decoding_tpu.train.loop import make_train_step
+
+    spec = get_model("logcov8", whiten=True, logm="chebyshev_scan")
+    x = np.asarray(dataset.windows[:16], np.float32)
+    y = np.asarray(dataset.labels[:16], np.int32)
+    params = spec.fit(spec.init(jax.random.PRNGKey(0)), x)
+    opt = optax.adam(1e-3)
+    step = make_train_step(spec, opt, label_smoothing=0.1)
+    rng = jax.random.PRNGKey(7)
+
+    ref_params, _, ref_metrics = jax.jit(step)(
+        params, opt.init(params), x, y, rng
+    )
+
+    mesh = make_mesh(tp=1)
+    placed = replicate(mesh, params)
+    sh_step = jax.jit(step, in_shardings=(None, None, batch_sharding(mesh),
+                                          batch_sharding(mesh, ndim=1), None))
+    sh_params, _, sh_metrics = sh_step(
+        placed, opt.init(placed), jax.device_put(x, batch_sharding(mesh)),
+        jax.device_put(y, batch_sharding(mesh, ndim=1)), rng,
+    )
+    np.testing.assert_allclose(
+        float(sh_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(sh_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
