@@ -163,15 +163,25 @@ def main() -> None:
     ap.add_argument("--words-csv", default=None,
                     help="PsychoPy-style conditions file (words header)")
     ap.add_argument(
-        "--stimulus", action="store_true",
-        help="present the protocol to a human subject in the terminal "
-             "(beep + cue word + COOL OFF, ESC/q aborts)",
+        "--stimulus", nargs="?", const="terminal", default=None,
+        choices=("terminal", "web"),
+        help="present the protocol to a human subject: 'terminal' (ANSI "
+             "word display + bell beep, ESC/q aborts; the default when "
+             "the flag is given bare) or 'web' (browser page with a real "
+             "WebAudio beep + word card, Escape aborts — "
+             "collector/web_stimulus.py)",
     )
+    ap.add_argument("--stimulus-port", type=int, default=8778,
+                    help="port for --stimulus web (0 = ephemeral)")
     args = ap.parse_args()
 
     words = load_words_csv(args.words_csv) if args.words_csv else DEFAULT_WORDS
     presenter = None
-    if args.stimulus:
+    if args.stimulus == "web":
+        from neural_speech_decoding_tpu.collector.web_stimulus import WebPresenter
+
+        presenter = WebPresenter(port=args.stimulus_port)
+    elif args.stimulus == "terminal":
         from neural_speech_decoding_tpu.collector.stimulus import TerminalPresenter
 
         presenter = TerminalPresenter()
