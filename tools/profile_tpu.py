@@ -143,5 +143,109 @@ def main():
     print(f"  batch-1 full: scan {t1 * 1e3:.2f} ms | pallas {t1p * 1e3:.2f} ms | rtt {rtt * 1e3:.2f} ms")
 
 
+def main_logcov():
+    """Decompose the accuracy flagship (whitened logcov8): band
+    covariances (fft vs matmul spectral), whiten+guard, logm backends,
+    and a Chebyshev degree/interval sweep — the data for any fused
+    front-end or reduced-degree decision. `python tools/profile_tpu.py
+    --logcov [--batch N]`."""
+    import dataclasses
+
+    from neural_speech_decoding_tpu.models import logcov as lc
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logcov", action="store_true")
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--degrees", default="128,160,200,256,320")
+    args = ap.parse_args()
+    b = args.batch
+
+    windows = load_trials().windows
+    reps = int(np.ceil(b / windows.shape[0]))
+    fcfg = FilterConfig(precision="fast")
+    raw = jnp.asarray(np.tile(windows, (reps, 1, 1))[:b])
+    batch = jnp.asarray(
+        np.asarray(jax.jit(lambda w: jax.vmap(lambda x: mai_filter(x, fcfg))(w))(raw))
+    )
+
+    trivial = jax.jit(lambda x: x + 1.0)
+    rtt = bench(trivial, jnp.ones((8, 8)), iters=5)
+    print(f"tunnel rtt ~{rtt * 1e3:.1f} ms; B={b} (MAI-filtered inputs)")
+
+    from neural_speech_decoding_tpu.models.registry import get_model
+
+    spec = get_model("logcov8", whiten=True)
+    cfg = spec.config
+    params = spec.fit(spec.init(jax.random.PRNGKey(0)), batch[:512])
+    whitener = params["whitener"]
+
+    for spectral in ("fft", "matmul"):
+        c2 = dataclasses.replace(cfg, spectral=spectral)
+        fn = jax.jit(lambda w, c2=c2: jnp.sum(lc.band_covariances(w, c2)))
+        t = bench(fn, batch)
+        print(f"  band_cov[{spectral:6s}] : {t * 1e3:8.2f} ms ({b / t:10.0f} w/s)")
+
+    covs = jax.jit(lambda w: lc.band_covariances(w, cfg))(batch)
+    covs = jnp.asarray(np.asarray(covs))
+
+    wfn = jax.jit(
+        lambda s: jnp.sum(jnp.einsum("nij,bnjk,nkl->bnil", whitener, s, whitener))
+    )
+    print(f"  whiten einsum    : {bench(wfn, covs) * 1e3:8.2f} ms")
+    gfn = jax.jit(lambda s: jnp.sum(lc.guard_spectrum(s, cfg)[0]))
+    print(f"  guard (cholesky) : {bench(gfn, covs) * 1e3:8.2f} ms")
+
+    # logm backends on the whitened covariances
+    wcovs = jax.jit(
+        lambda s: jnp.einsum("nij,bnjk,nkl->bnil", whitener, s, whitener)
+    )(covs)
+    wcovs = jnp.asarray(np.asarray(wcovs))
+    from neural_speech_decoding_tpu.ops.pallas.logm import logm_spd_chebyshev_pallas
+
+    interp = jax.default_backend() != "tpu"  # CPU smoke runs use interpret
+
+    for name, make in (
+        ("eigh", lambda d: jax.jit(lambda s: jnp.sum(
+            jnp.linalg.eigh(s)[0]))),
+        ("cheb_scan", lambda d: jax.jit(lambda s, d=d: jnp.sum(
+            lc._logm_spd_chebyshev(s, dataclasses.replace(cfg, cheb_degree=d))))),
+        ("cheb_pallas", lambda d: jax.jit(lambda s, d=d: jnp.sum(
+            logm_spd_chebyshev_pallas(
+                s, lc._cheb_log_coeffs(*cfg.cheb_interval, d),
+                *cfg.cheb_interval, interpret=interp)))),
+    ):
+        degrees = (
+            [int(x) for x in args.degrees.split(",")]
+            if name != "eigh" else [0]
+        )
+        for d in degrees:
+            try:
+                t = bench(make(d), wcovs)
+                tag = f"{name}@{d}" if d else name
+                print(f"  logm[{tag:14s}]: {t * 1e3:8.2f} ms ({b / t:10.0f} w/s)")
+            except Exception as e:
+                print(f"  logm[{name}@{d}]: FAIL {str(e)[:100]}")
+            if name == "cheb_scan" and d != degrees[-1]:
+                break  # scan is slow; one degree suffices for scale
+
+    # degree sweep accuracy: kernel features vs f64 eigh ground truth on
+    # REAL whitened covariances (max |delta| over upper-triangle entries)
+    small = np.asarray(wcovs[:2048], np.float64)
+    w64, v64 = np.linalg.eigh(small)
+    exact = np.einsum("...ij,...j,...kj->...ik", v64,
+                      np.log(np.maximum(w64, 1e-12)), v64)
+    for d in [int(x) for x in args.degrees.split(",")]:
+        got = np.asarray(
+            jax.jit(lambda s, d=d: logm_spd_chebyshev_pallas(
+                s, lc._cheb_log_coeffs(*cfg.cheb_interval, d),
+                *cfg.cheb_interval, interpret=interp))(
+                jnp.asarray(small, jnp.float32))
+        )
+        print(f"  degree {d:3d}: max|logm err| {np.abs(got - exact).max():.2e}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--logcov" in sys.argv:
+        main_logcov()
+    else:
+        main()
