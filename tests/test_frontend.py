@@ -180,4 +180,42 @@ def test_server_resolves_manifest_engine(tmp_path):
     # default checkpoint is a .pth, which non-lstm families must reject
     with pytest.raises(ValueError):
         srv._resolve_engine("eegnet", None)
-    assert ("eegnet", None) not in srv.STATE.engines
+    assert not any(k[0] == "eegnet" for k in srv.STATE.engines)
+
+
+def test_server_engine_cache_validation_and_invalidation(tmp_path):
+    """Round-3 cache semantics: a wrong-family manifest request errors
+    instead of silently serving the manifest's model; rewriting a
+    checkpoint at the same path (new mtime) invalidates the entry; the
+    cache is bounded."""
+    import os
+    import time as _time
+
+    import jax
+
+    from neural_speech_decoding_tpu.frontend import server as srv
+    from neural_speech_decoding_tpu.io.params_io import save_params_npz
+    from neural_speech_decoding_tpu.models.registry import get_model
+
+    spec = get_model("logcov")
+    member = tmp_path / "m0.npz"
+    save_params_npz(member, spec.init(jax.random.PRNGKey(0)))
+    manifest = tmp_path / "y_manifest.json"
+    manifest.write_text(
+        json.dumps({"model": "logcov", "members": [str(member)]})
+    )
+
+    # family must match the manifest's own model
+    with pytest.raises(ValueError, match="serves model"):
+        srv._resolve_engine("tcn", str(manifest))
+
+    eng1 = srv._resolve_engine("logcov", str(manifest))
+    assert srv._resolve_engine("logcov", str(manifest)) is eng1
+    # touch the manifest: mtime moves, entry invalidates, engine rebuilds
+    _time.sleep(0.01)
+    os.utime(manifest)
+    eng2 = srv._resolve_engine("logcov", str(manifest))
+    assert eng2 is not eng1
+
+    # LRU bound holds
+    assert len(srv.STATE.engines) <= srv._ENGINE_CACHE_MAX

@@ -59,6 +59,10 @@ def main() -> None:
     ap.add_argument("--platform", default=None)
     ap.add_argument("--stages", action="store_true", help="per-stage bisect")
     ap.add_argument("--write-filtered", action="store_true")
+    ap.add_argument("--json", default=None,
+                    help="also write the report as a JSON artifact (e.g. "
+                         "checkpoints/fidelity_r3.json) so on-chip claims "
+                         "are auditable, not just doc prose")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -114,6 +118,8 @@ def main() -> None:
                 assert list(z["files"]) == list(ds.files)
                 filtered_golden = z["filtered"]
 
+    report = {"platform": jax.devices()[0].platform, "trials": len(ds),
+              "device": jax.devices()[0].device_kind, "modes": {}}
     print(f"platform: {jax.devices()[0].platform} | trials: {len(ds)}")
     header = f"{'mode':14s} {'max|dlogit|':>12s} {'max|dprob|':>11s} {'argmax agree':>13s}"
     if filtered_golden is not None:
@@ -133,12 +139,25 @@ def main() -> None:
         dp = np.abs(probs - golden["probs"]).max()
         agree = float((logits.argmax(1) == ref_argmax).mean())
         line = f"{name:14s} {dl:12.2e} {dp:11.2e} {agree:13.4f}"
+        report["modes"][name] = {
+            "max_dlogit": float(dl), "max_dprob": float(dp),
+            "argmax_agreement": agree,
+        }
         if filtered_golden is not None:
             dfilt = np.abs(np.asarray(filtered, np.float32) - filtered_golden).max()
             model_logits = np.asarray(model(params, filtered_golden))
             dmodel = np.abs(model_logits - ref_logits).max()
             line += f" {dfilt:12.2e} {dmodel:20.2e}"
+            report["modes"][name].update(
+                filter_max_delta=float(dfilt), model_only_max_dlogit=float(dmodel)
+            )
         print(line)
+
+    if args.json:
+        import json
+        from pathlib import Path as _P
+
+        _P(args.json).write_text(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":
