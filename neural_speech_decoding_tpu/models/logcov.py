@@ -53,11 +53,15 @@ class LogCovConfig:
     shrinkage: float = 0.05
     dropout: float = 0.2
     ln_eps: float = 1e-5
-    # band-power extraction: "fft" (rfft + masked einsum) or "matmul" (ONE
-    # stacked [2*bins, T] cos/sin projection matmul — the same dense-operator
-    # trick as the matmul Hilbert; odd-length FFTs are slow on TPU).
-    # Numerically identical to ~1e-6; see tests/test_models.py.
-    spectral: str = "fft"
+    # band-power extraction: "matmul" (ONE stacked [2*bins, T] cos/sin
+    # projection matmul — the same dense-operator trick as the matmul
+    # Hilbert; odd-length FFTs are slow on TPU) or "fft" (rfft + masked
+    # einsum). Numerically identical to ~1e-6 (tests/test_models.py);
+    # deployed-checkpoint decode parity is exact in argmax with ~1e-6
+    # prob deltas, so the default is the faster matmul path (39 vs 63 ms
+    # at B=16384 on chip), which also unlocks the fused whitened
+    # front-end (_whitened_band_covariances_fused).
+    spectral: str = "matmul"
     # tangent space at the training-set mean covariance instead of at the
     # identity: features become logm(G^-1/2 S G^-1/2) with G fitted per band
     # by fit_whitener (the classical Riemannian tangent-space construction;
@@ -252,29 +256,48 @@ def _logm_spd_chebyshev(s: jnp.ndarray, cfg: LogCovConfig) -> jnp.ndarray:
     return logm_a + jnp.log(trace) * eye
 
 
+def _pd_mask(m: jnp.ndarray) -> jnp.ndarray:
+    """Batched positive-definite test on [..., C, C]: Sylvester's
+    criterion via an UNROLLED Cholesky — every pivot of the factorization
+    must be positive. Pure elementwise/VPU work over the batch: XLA's
+    blocked `jnp.linalg.cholesky` on [B*nb, 8, 8] costs ~141 ms at
+    B=16384 on chip (more than the entire Pallas logm); this unroll is
+    ~C^3/3 scalar FMAs per matrix, ~2 ms. Clamped pivots keep the
+    discarded factor finite once a non-positive pivot has already
+    answered the question."""
+    c = m.shape[-1]
+    low = {}
+    ok = None
+    for j in range(c):
+        s = m[..., j, j]
+        for k in range(j):
+            s = s - low[(j, k)] * low[(j, k)]
+        ok = (s > 0) if ok is None else ok & (s > 0)
+        ljj = jnp.sqrt(jnp.maximum(s, 1e-30))
+        for i in range(j + 1, c):
+            t = m[..., i, j]
+            for k in range(j):
+                t = t - low[(i, k)] * low[(j, k)]
+            low[(i, j)] = t / ljj
+    return ok
+
+
 def domain_flags(s: jnp.ndarray, cfg: LogCovConfig) -> jnp.ndarray:
     """Per-matrix bool [..,]: trace-normalized spectrum outside the
     Chebyshev fit domain [lo, hi].
 
-    lambda_min(A) >= lo iff A - lo*I is PSD iff its Cholesky factor is
-    finite (XLA returns NaN rows on an indefinite input) — an exact test,
-    one batched C x C Cholesky, no eigensolver. The upper edge is free for
-    the default interval: a trace-normalized SPD matrix has eigenvalues
-    summing to C, so lambda_max <= C = hi; a custom hi < C adds the mirror
-    Cholesky test."""
+    lambda_min(A) >= lo iff A - lo*I is PD (Sylvester test, _pd_mask) —
+    exact, no eigensolver. The upper edge is free for the default
+    interval: a trace-normalized SPD matrix has eigenvalues summing to C,
+    so lambda_max <= C = hi; a custom hi < C adds the mirror test."""
     c = s.shape[-1]
     lo, hi = cfg.cheb_interval
     eye = jnp.eye(c, dtype=s.dtype)
     tr = jnp.maximum(jnp.trace(s, axis1=-2, axis2=-1), 1e-30)[..., None, None] / c
     a = s / tr
-
-    def psd(m):
-        ch = jnp.linalg.cholesky(m)
-        return jnp.all(jnp.isfinite(ch), axis=(-2, -1))
-
-    bad = ~psd(a - lo * eye)
+    bad = ~_pd_mask(a - lo * eye)
     if hi < c:
-        bad = bad | ~psd(hi * eye - a)
+        bad = bad | ~_pd_mask(hi * eye - a)
     return bad
 
 
@@ -310,6 +333,56 @@ def guard_spectrum(
     return jnp.where(bad[..., None, None], shrunk, s), bad
 
 
+def _whitened_band_covariances_fused(
+    x_btc: jnp.ndarray, cfg: LogCovConfig, w0: jnp.ndarray
+) -> jnp.ndarray:
+    """Whitened per-band covariances with the whitener FOLDED into the
+    projected rows — the TPU fast path for the matmul spectral method.
+
+    Identity (exact, just reordered):
+      W·[(1-a)·G + a·(tr G/C + eps)·I]·W^T
+        = (1-a)·gram(Y W^T) · (2/T^2) + a·(tr G/C + eps)·W W^T
+    so the expensive batched [8 x 8] whitening sandwich (measured ~27 ms
+    at B=16384 — tiny-matmul MXU padding) becomes one cheap row-wise
+    channel mix on the projection output, and the per-band grams go
+    through the lane-batched Pallas kernel (ops/pallas/bandcov.py)
+    instead of padded einsum matmuls (~35 ms -> ~1 ms)."""
+    t = x_btc.shape[1]
+    c = cfg.num_channels
+    x = x_btc - jnp.mean(x_btc, axis=1, keepdims=True)
+    proj, slices = _band_projector(t, cfg)
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("rt,btc->brc", jnp.asarray(proj), x, precision=hp)
+    # static row -> band map; w_rows[r] = W_band(r)
+    band_idx = _np.concatenate(
+        [_np.full(sl.stop - sl.start, k) for k, sl in enumerate(slices)]
+    )
+    w_rows = w0[jnp.asarray(band_idx)]  # [R, C, C]
+    yw = jnp.einsum("brc,rdc->brd", y, w_rows, precision=hp)  # y @ W_k^T
+    if jax.default_backend() == "tpu":
+        from neural_speech_decoding_tpu.ops.pallas.bandcov import band_grams
+
+        g_w = band_grams(yw, slices)
+    else:
+        g_w = jnp.stack(
+            [
+                jnp.einsum("brc,brd->bcd", yw[:, sl], yw[:, sl], precision=hp)
+                for sl in slices
+            ],
+            axis=1,
+        )
+    g_w = g_w * (2.0 / (t * t))
+    # shrinkage reconstructed in whitened space: a*(tr G/C + eps)*W W^T
+    sq = jnp.sum(y * y, axis=-1)  # [B, R] — unmixed rows carry tr G
+    tr_g = jnp.stack(
+        [jnp.sum(sq[:, sl], axis=1) for sl in slices], axis=1
+    ) * (2.0 / (t * t))
+    wwt = jnp.einsum("nij,nkj->nik", w0, w0, precision=hp)
+    return (1.0 - cfg.shrinkage) * g_w + cfg.shrinkage * (
+        tr_g[..., None, None] / c + 1e-12
+    ) * wwt[None]
+
+
 def logcov_features(
     x_btc: jnp.ndarray,
     cfg: LogCovConfig,
@@ -323,11 +396,18 @@ def logcov_features(
     [B] bool (any band's covariance outside the Chebyshev domain — the
     runtime fault signal the reference's own fault injectors motivate,
     reference: Minds_AI_Filter_Real-time_Signal_Analysis.py:141-162)."""
-    s = band_covariances(x_btc.astype(jnp.float32), cfg)
-    if whitener is not None:
+    if whitener is not None and cfg.spectral == "matmul":
         w0 = jax.lax.stop_gradient(whitener)  # fixed buffer, not a weight
+        s = _whitened_band_covariances_fused(
+            x_btc.astype(jnp.float32), cfg, w0
+        )
+    elif whitener is not None:
+        w0 = jax.lax.stop_gradient(whitener)
+        s = band_covariances(x_btc.astype(jnp.float32), cfg)
         s = jnp.einsum("nij,bnjk,nkl->bnil", w0, s, w0)
         s = 0.5 * (s + jnp.swapaxes(s, -1, -2))
+    else:
+        s = band_covariances(x_btc.astype(jnp.float32), cfg)
     # Spectrum guard: the shrinkage floor in band_covariances guarantees
     # the domain for UNWHITENED covariances (enforced in __post_init__),
     # but whitening re-scales the spectrum with no such bound, and a

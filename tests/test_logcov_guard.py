@@ -217,3 +217,20 @@ def test_engine_surfaces_guard_counter(dataset):
     engine.predict_batch_async(jnp.asarray(batch))
     assert engine.stats["windows"] == 4
     assert engine.stats["guard_flagged"] == 2
+
+
+def test_pd_mask_matches_eigvalsh():
+    """The unrolled Sylvester test agrees with an eigensolver across a
+    spread of random matrices straddling definiteness."""
+    rng = np.random.default_rng(0)
+    c = 8
+    a = rng.standard_normal((256, c, c)).astype(np.float32)
+    spd = a @ np.swapaxes(a, -1, -2) / c  # PSD, occasionally near-singular
+    shift = rng.uniform(-0.5, 0.5, size=(256, 1, 1)).astype(np.float32)
+    m = spd - shift * np.eye(c, dtype=np.float32)
+    got = np.asarray(lc._pd_mask(jnp.asarray(m)))
+    truth = np.linalg.eigvalsh(m.astype(np.float64))[:, 0] > 0
+    # agree except within fp noise of exact singularity
+    margin = np.abs(np.linalg.eigvalsh(m.astype(np.float64))[:, 0]) > 1e-5
+    assert (got == truth)[margin].all()
+    assert margin.mean() > 0.95  # the comparison actually covered cases
