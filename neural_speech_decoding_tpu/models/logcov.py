@@ -359,10 +359,15 @@ def _whitened_band_covariances_fused(
     )
     w_rows = w0[jnp.asarray(band_idx)]  # [R, C, C]
     yw = jnp.einsum("brc,rdc->brd", y, w_rows, precision=hp)  # y @ W_k^T
-    if jax.default_backend() == "tpu":
+    import os
+
+    interp = os.environ.get("NSD_BANDCOV_INTERPRET") == "1"
+    if jax.default_backend() == "tpu" or interp:
+        # interp: tests exercise the kernel branch off-chip via the Pallas
+        # interpreter (slow but faithful to the wrapper's layout logic)
         from neural_speech_decoding_tpu.ops.pallas.bandcov import band_grams
 
-        g_w = band_grams(yw, slices)
+        g_w = band_grams(yw, slices, interpret=interp)
     else:
         g_w = jnp.stack(
             [

@@ -99,3 +99,25 @@ def test_fused_gradients_flow(dataset):
     g = jax.grad(loss)(params)
     assert np.isfinite(np.asarray(g["head"]["w"])).all()
     assert float(jnp.abs(g["whitener"]).max()) == 0.0
+
+
+def test_fused_kernel_branch_via_interpreter(dataset, monkeypatch):
+    """The pallas-kernel branch of the fused path (normally TPU-only)
+    runs under the interpreter and matches the einsum branch — catches
+    wrapper/layout bugs before any chip sees the kernel. Also covers
+    vmap over stacked members (the EnsembleEngine path)."""
+    cfg = lc.LogCovConfig(whiten=True, spectral="matmul")
+    w0 = _fitted(dataset, cfg)
+    x = jnp.asarray(dataset.windows[48:52], jnp.float32)
+    ref = np.asarray(lc._whitened_band_covariances_fused(x, cfg, w0))
+    monkeypatch.setenv("NSD_BANDCOV_INTERPRET", "1")
+    got = np.asarray(lc._whitened_band_covariances_fused(x, cfg, w0))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    # vmapped over a stacked member axis (2 members, different whiteners)
+    w_stack = jnp.stack([w0, w0 * 1.01])
+    vm = jax.vmap(
+        lambda w: lc._whitened_band_covariances_fused(x, cfg, w)
+    )(w_stack)
+    assert np.isfinite(np.asarray(vm)).all()
+    np.testing.assert_allclose(np.asarray(vm)[0], got, rtol=2e-4, atol=2e-5)
