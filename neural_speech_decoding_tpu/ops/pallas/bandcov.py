@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 256  # batch block on lanes (VMEM: y block C*R*LANES*4B ~ 3.7 MB)
 
