@@ -1,0 +1,148 @@
+"""Linear Recurrent Unit (LRU) EEG decoder.
+
+A state-space-style sequence model in the spirit of Orvieto et al. 2023
+("Resurrecting Recurrent Neural Networks for Long Sequences"): a DIAGONAL
+complex linear recurrence h_t = lambda * h_{t-1} + B x_t whose entire
+625-step evolution is computed by `jax.lax.associative_scan` — log-depth
+on the TPU instead of the LSTM's 625 serial carry steps (the recurrence
+the reference's decoder is built on, reference: lstm_eeg_model.py:13-39).
+The per-step operator is element-wise (diagonal), so the scan's combine
+is two fused multiplies — no MXU work inside the scan at all; all matmuls
+(input projection, readout, head) are batched over [B*T] and land on the
+MXU at full tile width.
+
+Stability by construction: lambda = exp(-exp(nu) + i*exp(theta)) keeps
+|lambda| < 1 for any real nu, and the input is scaled by
+gamma = sqrt(1 - |lambda|^2) (the paper's normalization) so state energy
+is input-scale-invariant across the spectrum of decay rates. Eigenvalues
+initialize in a ring |lambda| in [r_min, r_max] — slow modes for the
+low-frequency EEG bands, faster ones for beta/gamma.
+
+Head: attention pooling over time -> LayerNorm -> MLP, mirroring the
+reference's readout so the family slots behind the same registry surface.
+
+Input [B, T, C] -> logits [B, num_classes].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LRUConfig:
+    num_channels: int = 8
+    num_classes: int = 3
+    hidden: int = 64  # complex state dimension
+    readout: int = 48  # real features per step after the C-matrix readout
+    mlp_hidden: int = 32
+    r_min: float = 0.6  # eigenvalue ring at init
+    r_max: float = 0.999
+    max_phase: float = 6.28
+    dropout: float = 0.4
+    ln_eps: float = 1e-5
+
+
+def init_lru_params(rng: jax.Array, cfg: LRUConfig) -> Params:
+    (k_nu, k_th, k_bre, k_bim, k_cre, k_cim, k_attn, k_fc1, k_fc2) = (
+        jax.random.split(rng, 9)
+    )
+    h, c = cfg.hidden, cfg.num_channels
+    # |lambda| ~ Uniform on the ring [r_min, r_max] (area-uniform in u)
+    u = jax.random.uniform(k_nu, (h,))
+    mod = jnp.sqrt(
+        u * (cfg.r_max**2 - cfg.r_min**2) + cfg.r_min**2
+    )
+    nu = jnp.log(-jnp.log(mod))  # lambda_mod = exp(-exp(nu))
+    phase = jax.random.uniform(k_th, (h,)) * cfg.max_phase
+    theta = jnp.log(jnp.maximum(phase, 1e-4))  # lambda_arg = exp(theta)
+    scale_b = jnp.sqrt(1.0 / c)
+    scale_c = jnp.sqrt(1.0 / h)
+    return {
+        "nu": nu.astype(jnp.float32),
+        "theta": theta.astype(jnp.float32),
+        # complex B and C stored as (re, im) real pairs
+        "b_re": jax.random.normal(k_bre, (c, h), jnp.float32) * scale_b,
+        "b_im": jax.random.normal(k_bim, (c, h), jnp.float32) * scale_b,
+        "c_re": jax.random.normal(k_cre, (h, cfg.readout), jnp.float32) * scale_c,
+        "c_im": jax.random.normal(k_cim, (h, cfg.readout), jnp.float32) * scale_c,
+        "ln": {
+            "scale": jnp.ones((cfg.readout,), jnp.float32),
+            "bias": jnp.zeros((cfg.readout,), jnp.float32),
+        },
+        "attn": {
+            "w": jax.random.normal(k_attn, (cfg.readout, 1), jnp.float32)
+            * jnp.sqrt(1.0 / cfg.readout),
+            "b": jnp.zeros((1,), jnp.float32),
+        },
+        "fc1": {
+            "w": jax.random.normal(k_fc1, (cfg.readout, cfg.mlp_hidden), jnp.float32)
+            * jnp.sqrt(2.0 / cfg.readout),
+            "b": jnp.zeros((cfg.mlp_hidden,), jnp.float32),
+        },
+        "fc2": {
+            "w": jax.random.normal(k_fc2, (cfg.mlp_hidden, cfg.num_classes), jnp.float32)
+            * jnp.sqrt(1.0 / cfg.mlp_hidden),
+            "b": jnp.zeros((cfg.num_classes,), jnp.float32),
+        },
+    }
+
+
+def _lru_states(params: Params, x_btc: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, C] -> complex states [B, T, H] via associative scan."""
+    lam = jnp.exp(
+        -jnp.exp(params["nu"]) + 1j * jnp.exp(params["theta"])
+    )  # [H]
+    gamma = jnp.sqrt(
+        jnp.maximum(1.0 - jnp.abs(lam) ** 2, 1e-6)
+    ).astype(jnp.complex64)
+    b = (params["b_re"] + 1j * params["b_im"]).astype(jnp.complex64)
+    u = jnp.einsum(
+        "btc,ch->bth", x_btc.astype(jnp.complex64), b,
+    ) * gamma  # [B, T, H]
+
+    lam_t = jnp.broadcast_to(lam, u.shape)  # per-step operator (constant)
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a1 * a2, a2 * b1 + b2
+
+    _, h = jax.lax.associative_scan(combine, (lam_t, u), axis=1)
+    return h
+
+
+def lru_apply(
+    params: Params,
+    x_btc: jnp.ndarray,
+    cfg: LRUConfig = LRUConfig(),
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    if train and rng is None:
+        raise ValueError("train=True requires rng")
+    h = _lru_states(params, x_btc.astype(jnp.float32))
+    cc = (params["c_re"] + 1j * params["c_im"]).astype(jnp.complex64)
+    y = jnp.einsum("bth,hr->btr", h, cc).real  # [B, T, readout]
+    y = jax.nn.gelu(y)
+    # attention pooling over time (the reference readout style)
+    scores = y @ params["attn"]["w"] + params["attn"]["b"]  # [B, T, 1]
+    w = jax.nn.softmax(scores, axis=1)
+    pooled = jnp.sum(y * w, axis=1)  # [B, readout]
+    mean = jnp.mean(pooled, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(pooled - mean), axis=-1, keepdims=True)
+    f = (pooled - mean) / jnp.sqrt(var + cfg.ln_eps)
+    f = f * params["ln"]["scale"] + params["ln"]["bias"]
+    f = jax.nn.gelu(f @ params["fc1"]["w"] + params["fc1"]["b"])
+    if train and cfg.dropout > 0:
+        keep = 1.0 - cfg.dropout
+        f = jnp.where(jax.random.bernoulli(rng, keep, f.shape), f / keep, 0.0)
+    return f @ params["fc2"]["w"] + params["fc2"]["b"]

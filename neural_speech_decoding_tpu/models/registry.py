@@ -23,6 +23,7 @@ from neural_speech_decoding_tpu.config import (
 )
 from neural_speech_decoding_tpu.models import eegnet as _eegnet
 from neural_speech_decoding_tpu.models import logcov as _logcov
+from neural_speech_decoding_tpu.models import lru as _lru
 from neural_speech_decoding_tpu.models import lstm as _lstm
 from neural_speech_decoding_tpu.models import tcn as _tcn
 from neural_speech_decoding_tpu.models import transformer as _transformer
@@ -101,6 +102,19 @@ def _transformer_spec(
     )
 
 
+def _lru_spec(name: str, num_classes: int, class_names, **cfg_kw) -> "ModelSpec":
+    cfg = _lru.LRUConfig(num_classes=num_classes, **cfg_kw)
+    return ModelSpec(
+        name=name,
+        config=cfg,
+        class_names=tuple(class_names),
+        init=lambda rng: _lru.init_lru_params(rng, cfg),
+        apply=lambda p, x, *, train=False, rng=None: _lru.lru_apply(
+            p, x, cfg, train=train, rng=rng
+        ),
+    )
+
+
 def _logcov_spec(name: str, num_classes: int, class_names, **cfg_kw) -> "ModelSpec":
     cfg = _logcov.LogCovConfig(num_classes=num_classes, **cfg_kw)
     return ModelSpec(
@@ -140,6 +154,11 @@ _BUILDERS: Dict[str, Callable[..., ModelSpec]] = {
     ),
     "tcn": lambda **kw: _tcn_spec("tcn", 3, THREE_CLASS_NAMES, **kw),
     "tcn5": lambda **kw: _tcn_spec("tcn5", 5, FIVE_CLASS_NAMES, **kw),
+    # linear recurrent unit / state-space family (models/lru.py):
+    # diagonal complex recurrence via associative_scan — log-depth over
+    # T=625 where the LSTM is serial
+    "lru": lambda **kw: _lru_spec("lru", 3, THREE_CLASS_NAMES, **kw),
+    "lru5": lambda **kw: _lru_spec("lru5", 5, FIVE_CLASS_NAMES, **kw),
     # capacity variants for the tiny-dataset regime (179 trials): a small,
     # harder-regularized stack and a wide one, CV-compared in BENCHMARKS
     "tcn_small": lambda **kw: _tcn_spec(

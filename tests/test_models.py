@@ -70,7 +70,7 @@ def test_registry_unknown():
     assert "lstm" in available_models()
 
 
-@pytest.mark.parametrize("name", ["eegnet", "transformer", "tcn"])
+@pytest.mark.parametrize("name", ["eegnet", "transformer", "tcn", "lru"])
 def test_models_jit_and_grad(name, windows):
     spec = get_model(name)
     params = spec.init(jax.random.PRNGKey(0))
@@ -232,3 +232,40 @@ def test_whitened_checkpoint_serves_without_model_kw(windows):
     with_kw = np.asarray(spec_w.apply(params, windows[:4]))
     plain = np.asarray(get_model("logcov").apply(params, windows[:4]))
     np.testing.assert_allclose(plain, with_kw, atol=1e-6)
+
+
+def test_lru_scan_matches_sequential(windows):
+    """The associative-scan state trajectory equals the sequential
+    recurrence h_t = lam*h_{t-1} + gamma*B x_t it parallelizes."""
+    import jax.numpy as jnp
+
+    from neural_speech_decoding_tpu.models import lru as m
+
+    cfg = m.LRUConfig(hidden=16)
+    params = m.init_lru_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.asarray(windows)[:2, :50], jnp.float32)
+    h = np.asarray(m._lru_states(params, x))
+
+    lam = np.exp(-np.exp(np.asarray(params["nu"]))
+                 + 1j * np.exp(np.asarray(params["theta"])))
+    gamma = np.sqrt(np.maximum(1.0 - np.abs(lam) ** 2, 1e-6))
+    b = np.asarray(params["b_re"]) + 1j * np.asarray(params["b_im"])
+    u = np.einsum("btc,ch->bth", np.asarray(x), b) * gamma
+    ref = np.zeros_like(u)
+    state = np.zeros((u.shape[0], u.shape[2]), np.complex128)
+    for t in range(u.shape[1]):
+        state = lam * state + u[:, t]
+        ref[:, t] = state
+    np.testing.assert_allclose(h, ref.astype(np.complex64), rtol=2e-4, atol=1e-5)
+
+
+def test_lru_stability_and_shapes(windows):
+    from neural_speech_decoding_tpu.models import lru as m
+
+    cfg = m.LRUConfig()
+    params = m.init_lru_params(jax.random.PRNGKey(1), cfg)
+    lam_mod = np.exp(-np.exp(np.asarray(params["nu"])))
+    assert (lam_mod < 1.0).all() and (lam_mod > 0.3).all()
+    logits = np.asarray(m.lru_apply(params, windows, cfg))
+    assert logits.shape == (windows.shape[0], 3)
+    assert np.isfinite(logits).all()
