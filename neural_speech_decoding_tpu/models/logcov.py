@@ -461,6 +461,36 @@ def logcov_features(
     return feats
 
 
+def logcov_head_apply(
+    params: Params,
+    feats: jnp.ndarray,
+    cfg: LogCovConfig = LogCovConfig(),
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """LayerNorm + dropout + linear head on PRECOMPUTED tangent-space
+    features (the output of logcov_features).
+
+    The feature extractor is parameter-free (the whitener is a frozen
+    buffer), so training pipelines featurize each window ONCE and run
+    every epoch in this tiny head space instead of re-evaluating the
+    band covariances + 320-step Clenshaw per step — identical numbers,
+    ~10x faster sweeps (tools/crossval.py uses it via ModelSpec.featurize
+    / head_apply)."""
+    if train and rng is None:
+        raise ValueError("train=True requires rng")
+    f = feats
+    mean = jnp.mean(f, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(f - mean), axis=-1, keepdims=True)
+    f = (f - mean) / jnp.sqrt(var + cfg.ln_eps)
+    f = f * params["ln"]["scale"] + params["ln"]["bias"]
+    if train and cfg.dropout > 0:
+        keep = 1.0 - cfg.dropout
+        f = jnp.where(jax.random.bernoulli(rng, keep, f.shape), f / keep, 0.0)
+    return f @ params["head"]["w"] + params["head"]["b"]
+
+
 def logcov_apply_ex(
     params: Params,
     x_btc: jnp.ndarray,
@@ -483,14 +513,8 @@ def logcov_apply_ex(
     f, flags = logcov_features(
         x_btc, cfg, whitener=params.get("whitener"), with_flags=True
     )
-    mean = jnp.mean(f, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(f - mean), axis=-1, keepdims=True)
-    f = (f - mean) / jnp.sqrt(var + cfg.ln_eps)
-    f = f * params["ln"]["scale"] + params["ln"]["bias"]
-    if train and cfg.dropout > 0:
-        keep = 1.0 - cfg.dropout
-        f = jnp.where(jax.random.bernoulli(rng, keep, f.shape), f / keep, 0.0)
-    return f @ params["head"]["w"] + params["head"]["b"], {"domain_flags": flags}
+    logits = logcov_head_apply(params, f, cfg, train=train, rng=rng)
+    return logits, {"domain_flags": flags}
 
 
 def logcov_apply(

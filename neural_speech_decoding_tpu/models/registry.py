@@ -46,6 +46,14 @@ class ModelSpec:
     # spectrum-guard "domain_flags"). Serving engines use it when present
     # to surface runtime health counters; apply stays the plain surface.
     apply_ex: "Callable[..., Any] | None" = None
+    # optional feature-space split for families whose feature extractor is
+    # parameter-free: featurize(params, x) -> feats computed ONCE per
+    # window, head_apply(params, feats, *, train, rng) -> logits run every
+    # training step. apply == head_apply(featurize(...)) exactly; training
+    # pipelines (crossval) use the split to avoid re-extracting features
+    # each step.
+    featurize: "Callable[[Any, Any], Any] | None" = None
+    head_apply: "Callable[..., Any] | None" = None
 
 
 def _lstm_spec(name: str, num_classes: int, class_names, **cfg_kw) -> "ModelSpec":
@@ -132,6 +140,12 @@ def _logcov_spec(name: str, num_classes: int, class_names, **cfg_kw) -> "ModelSp
         ),
         apply_ex=lambda p, x, *, train=False, rng=None: _logcov.logcov_apply_ex(
             p, x, cfg, train=train, rng=rng
+        ),
+        featurize=lambda p, x: _logcov.logcov_features(
+            x, cfg, whitener=p.get("whitener")
+        ),
+        head_apply=lambda p, f, *, train=False, rng=None: _logcov.logcov_head_apply(
+            p, f, cfg, train=train, rng=rng
         ),
     )
 

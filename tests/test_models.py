@@ -269,3 +269,27 @@ def test_lru_stability_and_shapes(windows):
     logits = np.asarray(m.lru_apply(params, windows, cfg))
     assert logits.shape == (windows.shape[0], 3)
     assert np.isfinite(logits).all()
+
+
+def test_logcov_featurize_head_split_matches_apply(windows):
+    """ModelSpec.featurize/head_apply compose to exactly apply — the
+    contract crossval's feature-space fast path relies on."""
+    spec = get_model("logcov8", whiten=True, logm="chebyshev_scan")
+    params = spec.init(jax.random.PRNGKey(0))
+    params = spec.fit(params, np.asarray(windows))
+    full = np.asarray(spec.apply(params, windows, train=False))
+    split = np.asarray(
+        spec.head_apply(params, spec.featurize(params, windows), train=False)
+    )
+    np.testing.assert_allclose(split, full, rtol=1e-6, atol=1e-6)
+    # train-mode dropout path too (same rng -> same mask)
+    a = np.asarray(
+        spec.apply(params, windows, train=True, rng=jax.random.PRNGKey(5))
+    )
+    b = np.asarray(
+        spec.head_apply(
+            params, spec.featurize(params, windows), train=True,
+            rng=jax.random.PRNGKey(5),
+        )
+    )
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-6)

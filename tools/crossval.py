@@ -122,17 +122,63 @@ def run_crossval(
         make_train_step,
     )
 
+    # Feature-space fast path: families with a parameter-free feature
+    # extractor (logcov — ModelSpec.featurize/head_apply) featurize each
+    # window ONCE per fold/member and train every epoch in the tiny head
+    # space, instead of re-running band covariances + the 320-step
+    # Clenshaw per step. Identical math (apply == head_apply(featurize)),
+    # ~10x faster logcov sweeps.
+    feat_fns = {
+        n: jax.jit(s.featurize)
+        for n, s in specs.items()
+        if s.featurize is not None
+    }
+
+    def _model_for(n):
+        s = specs[n]
+        if s.featurize is not None:
+            return lambda p, f, *, train=False, rng=None, s=s: s.head_apply(
+                p, f, train=train, rng=rng
+            )
+        return s
+
+    def _featurize_np(family, params, arr: np.ndarray) -> np.ndarray:
+        """Featurize with zero-padding to a multiple of 32 so augmented
+        batches (variable size per seed) hit few compiled shapes."""
+        n = arr.shape[0]
+        if n == 0:
+            probe = np.asarray(
+                feat_fns[family](params, jnp.zeros((1,) + arr.shape[1:], np.float32))
+            )
+            return np.zeros((0, probe.shape[1]), np.float32)
+        pad = (-n) % 32
+        if pad:
+            arr = np.concatenate(
+                [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)]
+            )
+        return np.asarray(feat_fns[family](params, jnp.asarray(arr)))[:n]
+
+    import jax.numpy as jnp
+
     # Jitted callables hoisted out of the fold loop: rebuilding them per
     # fold/member would bust jax's jit cache (new function objects) and pay
     # the ~30 s remote-compile cost dozens of times instead of once per
     # distinct (family, shape).
-    eval_fns = {n: jax.jit(make_eval_fn(s)) for n, s in specs.items()}
-    probs_fns = {
-        n: jax.jit(
-            lambda p, x, s=s: jax.nn.softmax(s.apply(p, x, train=False), axis=-1)
-        )
-        for n, s in specs.items()
-    }
+    eval_fns = {n: jax.jit(make_eval_fn(_model_for(n))) for n in specs}
+    probs_fns = {}
+    for n, s in specs.items():
+        if s.featurize is not None:
+            probs_fns[n] = jax.jit(
+                lambda p, f, s=s: jax.nn.softmax(
+                    s.head_apply(p, f, train=False), axis=-1
+                )
+            )
+        else:
+            probs_fns[n] = jax.jit(
+                lambda p, x, s=s: jax.nn.softmax(
+                    s.apply(p, x, train=False), axis=-1
+                )
+            )
     ref_logits_fn = jax.jit(lambda p, w: lstm_spec.apply(p, w, train=False))
     # optimizer + train step reused across members/folds; keyed by
     # steps_per_epoch because the cosine schedule depends on it (the
@@ -148,7 +194,7 @@ def run_crossval(
             )
             optimizer = _optimizer(opt_cfg, steps_per_epoch)
             step_fn = jax.jit(
-                make_train_step(specs[family], optimizer, label_smoothing),
+                make_train_step(_model_for(family), optimizer, label_smoothing),
                 donate_argnums=(0, 1),
             )
             _step_cache[key] = (step_fn, optimizer)
@@ -180,20 +226,15 @@ def run_crossval(
         x_base, y_base = filtered[inner_train_idx], ds.labels[inner_train_idx]
         x_ival, y_ival = filtered[inner_val_idx], ds.labels[inner_val_idx]
 
+        # per-fold feature cache (featurizing families): the whitener is a
+        # deterministic function of the fold's clean training windows, so
+        # base/inner-val/val features are identical across member seeds
+        fold_feats: dict = {}
+
         def train_member(family: str, member_seed: int):
             """One training run; epoch selection on the inner split only.
             Returns (nested_params, last_params, biased_outer_acc)."""
-            x_train, y_train = x_base, y_base
-            if augment > 0:
-                xa, ya = augment_batch_np(
-                    x_train, y_train, prob=augment, seed=member_seed,
-                    kinds=ALL_KINDS if aug_kinds == "all" else KINDS,
-                )
-                x_train = np.concatenate([x_train, xa])
-                y_train = np.concatenate([y_train, ya])
-
             spec = specs[family]
-            step_fn, optimizer = step_and_opt(family, max(1, len(x_train) // 32))
             rng = jax.random.PRNGKey(member_seed)
             rng, k = jax.random.split(rng)
             params = spec.init(k)
@@ -203,6 +244,35 @@ def run_crossval(
                 # the augmented copies (injected noise distorts the fitted
                 # mean covariance)
                 params = spec.fit(params, x_base, y_base)
+
+            x_train, y_train = x_base, y_base
+            xa = ya = None
+            if augment > 0:
+                xa, ya = augment_batch_np(
+                    x_train, y_train, prob=augment, seed=member_seed,
+                    kinds=ALL_KINDS if aug_kinds == "all" else KINDS,
+                )
+            if spec.featurize is not None:
+                if family not in fold_feats:
+                    fold_feats[family] = tuple(
+                        _featurize_np(family, params, arr)
+                        for arr in (x_base, x_ival, x_val)
+                    )
+                f_base, f_ival, f_val = fold_feats[family]
+                x_train = f_base
+                if xa is not None and len(xa):
+                    x_train = np.concatenate(
+                        [f_base, _featurize_np(family, params, xa)]
+                    )
+                    y_train = np.concatenate([y_base, ya])
+                xt_ival, xt_val = f_ival, f_val
+            else:
+                if xa is not None and len(xa):
+                    x_train = np.concatenate([x_base, xa])
+                    y_train = np.concatenate([y_base, ya])
+                xt_ival, xt_val = x_ival, x_val
+
+            step_fn, optimizer = step_and_opt(family, max(1, len(x_train) // 32))
             opt_state = optimizer.init(params)
             np_rng = np.random.default_rng(member_seed)
             best_outer = -1.0  # the biased protocol, for comparison only
@@ -217,12 +287,12 @@ def run_crossval(
                         params, opt_state, x_train[idx],
                         y_train[idx].astype(np.int32), k,
                     )
-                inner = acc_on(family, params, x_ival, y_ival)
+                inner = acc_on(family, params, xt_ival, y_ival)
                 if inner > best_inner:
                     best_inner = inner
                     # step_fn donates params; snapshot to host first
                     nested_params = jax.tree_util.tree_map(np.asarray, params)
-                best_outer = max(best_outer, acc_on(family, params, x_val, y_val))
+                best_outer = max(best_outer, acc_on(family, params, xt_val, y_val))
             last_params = jax.tree_util.tree_map(np.asarray, params)
             return family, nested_params, last_params, best_outer
 
@@ -231,14 +301,20 @@ def run_crossval(
             for fam in families
             for s in range(seeds)
         ]
+
+        def _xval_for(fam):
+            return fold_feats[fam][2] if fam in fold_feats else x_val
+
         # Ensemble = mean softmax over members. Each member's epoch was
         # chosen on the inner split, so this never selects on the eval fold.
         # One forward pass per member per params-set; reused below for the
         # ensemble mean, the per-seed accuracies, and fold_detail.
-        member_nested_probs = [probs_on(m[0], m[1], x_val) for m in members]
+        member_nested_probs = [
+            probs_on(m[0], m[1], _xval_for(m[0])) for m in members
+        ]
         nested_probs = np.mean(member_nested_probs, axis=0)
         last_probs = np.mean(
-            [probs_on(m[0], m[2], x_val) for m in members], axis=0
+            [probs_on(m[0], m[2], _xval_for(m[0])) for m in members], axis=0
         )
         per_seed_nested = [
             float((p.argmax(1) == y_val).mean()) for p in member_nested_probs
