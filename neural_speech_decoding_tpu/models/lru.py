@@ -46,7 +46,10 @@ class LRUConfig:
     r_min: float = 0.6  # eigenvalue ring at init
     r_max: float = 0.999
     max_phase: float = 6.28
-    dropout: float = 0.4
+    # 0.2 is the CV-validated setting (56.5% nested vs 52.0 at 0.4 —
+    # docs/BENCHMARKS.md); the head is small enough that heavy dropout
+    # starves it on 143-trial folds
+    dropout: float = 0.2
     ln_eps: float = 1e-5
 
 
