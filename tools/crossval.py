@@ -208,7 +208,7 @@ def run_crossval(
         return np.asarray(probs_fns[family](p, x))
 
     fold_indices = stratified_folds(ds.labels, folds, seed)
-    ours = {"nested": [], "last": [], "biased": []}
+    ours = {"nested": [], "last": [], "swa": [], "biased": []}
     seed_means = {"nested": []}  # per-seed mean (no ensembling), for the lift
     theirs = []
     fold_detail = []  # per-member nested probs, for post-hoc aggregator study
@@ -278,6 +278,12 @@ def run_crossval(
             best_outer = -1.0  # the biased protocol, for comparison only
             best_inner = -1.0
             nested_params = None
+            # SWA protocol: running mean of params over the LAST quarter
+            # of the epoch budget — selection-free like "last" but
+            # averaging out end-of-training oscillation (cheap: snapshots
+            # are a ~30k-param head)
+            swa_start = epochs - max(1, epochs // 4)
+            swa_params, swa_n = None, 0
             for _epoch in range(epochs):
                 perm = np_rng.permutation(len(x_train))
                 for i in range(0, len(x_train) - 32 + 1, 32):
@@ -292,9 +298,21 @@ def run_crossval(
                     best_inner = inner
                     # step_fn donates params; snapshot to host first
                     nested_params = jax.tree_util.tree_map(np.asarray, params)
+                if _epoch >= swa_start:
+                    snap = jax.tree_util.tree_map(np.asarray, params)
+                    if swa_params is None:
+                        swa_params = snap
+                    else:
+                        swa_params = jax.tree_util.tree_map(
+                            lambda a, b: a + b, swa_params, snap
+                        )
+                    swa_n += 1
                 best_outer = max(best_outer, acc_on(family, params, xt_val, y_val))
             last_params = jax.tree_util.tree_map(np.asarray, params)
-            return family, nested_params, last_params, best_outer
+            swa_params = jax.tree_util.tree_map(
+                lambda a: (a / swa_n).astype(a.dtype), swa_params
+            )
+            return family, nested_params, last_params, best_outer, swa_params
 
         members = [
             train_member(fam, seed + fold_i + 9973 * s)
@@ -316,11 +334,15 @@ def run_crossval(
         last_probs = np.mean(
             [probs_on(m[0], m[2], _xval_for(m[0])) for m in members], axis=0
         )
+        swa_probs = np.mean(
+            [probs_on(m[0], m[4], _xval_for(m[0])) for m in members], axis=0
+        )
         per_seed_nested = [
             float((p.argmax(1) == y_val).mean()) for p in member_nested_probs
         ]
         ours["nested"].append(float((nested_probs.argmax(1) == y_val).mean()))
         ours["last"].append(float((last_probs.argmax(1) == y_val).mean()))
+        ours["swa"].append(float((swa_probs.argmax(1) == y_val).mean()))
         ours["biased"].append(float(np.mean([m[3] for m in members])))
         seed_means["nested"].append(float(np.mean(per_seed_nested)))
         fold_detail.append(
@@ -347,7 +369,8 @@ def run_crossval(
         )
         log(
             f"fold {fold_i}: nested {ours['nested'][-1]:.3f}{ens} | "
-            f"last {ours['last'][-1]:.3f} | biased {ours['biased'][-1]:.3f} | "
+            f"last {ours['last'][-1]:.3f} | swa {ours['swa'][-1]:.3f} | "
+            f"biased {ours['biased'][-1]:.3f} | "
             f"reference {theirs[-1]:.3f}"
         )
 
@@ -389,7 +412,7 @@ def run_crossval(
         + (f", {n_members}-member ensemble" if n_members > 1 else "")
         + ":"
     )
-    for name in ("nested", "last", "biased"):
+    for name in ("nested", "last", "swa", "biased"):
         row = summary["by_protocol"][name]
         tag = " (headline)" if name == protocol else ""
         if name == "biased" and summary["biased_is_per_member"]:
@@ -417,7 +440,7 @@ def main() -> None:
     ap.add_argument("--schedule", default="constant", choices=("constant", "cosine"))
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
-        "--protocol", default="nested", choices=("nested", "last", "biased")
+        "--protocol", default="nested", choices=("nested", "last", "swa", "biased")
     )
     ap.add_argument("--seeds", type=int, default=1)
     ap.add_argument(
