@@ -16,6 +16,7 @@ with a TPU-first design:
 from __future__ import annotations
 
 import math
+import threading
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -127,21 +128,30 @@ class InferenceEngine:
         # guard-counter surface: windows decoded / windows whose covariance
         # spectrum was clamped by the logcov domain guard (always 0 for
         # families without apply_ex). Async dispatches park their device
-        # flag vectors in _flag_futures; stats() folds them in.
+        # flag vectors in _flag_futures; stats() folds them in. The stream
+        # decode thread appends while the dashboard's HTTP thread reads
+        # stats, so both structures live under _stats_lock.
         self._stats = {"windows": 0, "guard_flagged": 0}
         self._flag_futures: list = []
+        self._stats_lock = threading.Lock()
 
     # -- public API -----------------------------------------------------
     @property
     def stats(self) -> Dict[str, int]:
         """{"windows", "guard_flagged"} — folds any parked async flag
-        vectors (one bulk host fetch) before returning."""
-        if self._flag_futures:
-            for flags, b in self._flag_futures:
-                self._stats["guard_flagged"] += int(np.asarray(flags)[:b].sum())
-                self._stats["windows"] += b
-            self._flag_futures.clear()
-        return dict(self._stats)
+        vectors (one bulk host fetch) before returning. Thread-safe: the
+        pending list is detached under the lock, the (slow) host fetches
+        happen outside it, and the fold re-acquires to update."""
+        with self._stats_lock:
+            pending, self._flag_futures = self._flag_futures, []
+        if pending:
+            folded = [(int(np.asarray(flags)[:b].sum()), b) for flags, b in pending]
+            with self._stats_lock:
+                for flagged, b in folded:
+                    self._stats["guard_flagged"] += flagged
+                    self._stats["windows"] += b
+        with self._stats_lock:
+            return dict(self._stats)
 
     def warmup(self, batch_sizes: Sequence[int] = (1,)) -> None:
         t, c = self.config.window_samples, self.config.num_channels
@@ -167,11 +177,16 @@ class InferenceEngine:
         out = self._pipeline(self.params, windows_btc)
         self._compiled_buckets[bb] = True
         if self._has_aux:
-            probs, flags = jax.device_get(out)
-            self._stats["guard_flagged"] += int(flags[:b].sum())
-            self._stats["windows"] += b
+            probs, flags = out
+            # park the flags device array instead of fetching it here: a
+            # synchronous device_get of the flags vector costs an extra
+            # ~29 ms tunnel round-trip on the real-time latency path;
+            # stats() folds it in bulk later
+            with self._stats_lock:
+                self._flag_futures.append((flags, b))
             return np.asarray(probs)[:b]
-        self._stats["windows"] += b
+        with self._stats_lock:
+            self._stats["windows"] += b
         return np.asarray(out)[:b]
 
     def predict(self, window_tc: np.ndarray) -> Tuple[np.ndarray, str]:
@@ -188,10 +203,14 @@ class InferenceEngine:
         out = self._pipeline(self.params, windows_btc)
         if self._has_aux:
             probs, flags = out
-            self._flag_futures.append((flags, windows_btc.shape[0]))
-            if len(self._flag_futures) > 4096:  # bound the parked list
+            with self._stats_lock:
+                self._flag_futures.append((flags, windows_btc.shape[0]))
+                overflow = len(self._flag_futures) > 4096
+            if overflow:  # bound the parked list
                 _ = self.stats
             return probs
+        with self._stats_lock:
+            self._stats["windows"] += int(windows_btc.shape[0])
         return out
 
     def decode_recording(

@@ -18,6 +18,7 @@ device. No Python loop over members at decode time.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -127,8 +128,10 @@ class EnsembleEngine:
                 return jnp.mean(jax.nn.softmax(logits, axis=-1), axis=0)
 
         self._pipeline = jax.jit(_pipeline)
+        # shared with the dashboard's HTTP threads — see InferenceEngine
         self._stats = {"windows": 0, "guard_flagged": 0}
         self._flag_futures: list = []
+        self._stats_lock = threading.Lock()
 
     @classmethod
     def from_manifest(cls, manifest_path: str, **kw) -> "EnsembleEngine":
@@ -169,12 +172,16 @@ class EnsembleEngine:
     @property
     def stats(self):
         """{"windows", "guard_flagged"} — see InferenceEngine.stats."""
-        if self._flag_futures:
-            for flags, b in self._flag_futures:
-                self._stats["guard_flagged"] += int(np.asarray(flags)[:b].sum())
-                self._stats["windows"] += b
-            self._flag_futures.clear()
-        return dict(self._stats)
+        with self._stats_lock:
+            pending, self._flag_futures = self._flag_futures, []
+        if pending:
+            folded = [(int(np.asarray(flags)[:b].sum()), b) for flags, b in pending]
+            with self._stats_lock:
+                for flagged, b in folded:
+                    self._stats["guard_flagged"] += flagged
+                    self._stats["windows"] += b
+        with self._stats_lock:
+            return dict(self._stats)
 
     def warmup(self, batch_sizes: Sequence[int] = (1,)) -> None:
         t, c = self.config.window_samples, self.config.num_channels
@@ -195,11 +202,14 @@ class EnsembleEngine:
             windows_btc = np.concatenate([windows_btc, pad], axis=0)
         out = self._pipeline(self.params, windows_btc)
         if self._has_aux:
-            probs, flags = jax.device_get(out)
-            self._stats["guard_flagged"] += int(flags[:b].sum())
-            self._stats["windows"] += b
+            probs, flags = out
+            # park the flags device array (no synchronous fetch — see
+            # InferenceEngine.predict_batch); stats() folds it later
+            with self._stats_lock:
+                self._flag_futures.append((flags, b))
             return np.asarray(probs)[:b]
-        self._stats["windows"] += b
+        with self._stats_lock:
+            self._stats["windows"] += b
         return np.asarray(out)[:b]
 
     def predict(self, window_tc: np.ndarray) -> Tuple[np.ndarray, str]:
@@ -210,8 +220,12 @@ class EnsembleEngine:
         out = self._pipeline(self.params, windows_btc)
         if self._has_aux:
             probs, flags = out
-            self._flag_futures.append((flags, windows_btc.shape[0]))
-            if len(self._flag_futures) > 4096:
+            with self._stats_lock:
+                self._flag_futures.append((flags, windows_btc.shape[0]))
+                overflow = len(self._flag_futures) > 4096
+            if overflow:
                 _ = self.stats
             return probs
+        with self._stats_lock:
+            self._stats["windows"] += int(windows_btc.shape[0])
         return out

@@ -1,0 +1,72 @@
+"""Decode parity of the SHIPPED deployment checkpoints across the
+spectral-path default flip (fft -> matmul, models/logcov.py:64).
+
+The fused matmul front-end routes every deployed whitened checkpoint
+through brand-new code by default; this pins the equivalence claim to the
+artifacts actually served (not just synthetic fixtures): for each
+deployment manifest, both spectral paths must agree in argmax on ALL
+golden trials, with small probability deltas. Evidence recorded in
+docs/PARITY.md.
+"""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+# (manifest, prob-delta bound). Measured deltas (also in docs/PARITY.md):
+# 1.1e-6 / 6.0e-7 for the 3-class manifests, 2.2e-3 for the 5-class one
+# (its guard clamps sit closer to the domain edge); argmax parity is exact
+# for all three.
+MANIFESTS = [
+    ("checkpoints/logcov8w_deploy_manifest.json", 1e-3),
+    ("checkpoints/logcov8wd_ens_manifest.json", 1e-3),
+    ("checkpoints/logcov8_5_wd_ens_manifest.json", 1e-2),
+]
+
+
+def _ensemble_probs(manifest_path: Path, x, spectral: str) -> np.ndarray:
+    from neural_speech_decoding_tpu.io.params_io import load_params_npz
+    from neural_speech_decoding_tpu.models.registry import get_model
+
+    manifest = json.loads(manifest_path.read_text())
+    kw = dict(manifest["config"].get("model_kw") or {})
+    kw["spectral"] = spectral
+    spec = get_model(manifest["model"], **kw)
+    probs = []
+    for member in manifest["members"]:
+        params = load_params_npz(REPO_ROOT / member)
+        logits = jax.jit(lambda p, w: spec.apply(p, w, train=False))(params, x)
+        probs.append(np.asarray(jax.nn.softmax(logits, axis=-1)))
+    return np.mean(probs, axis=0)
+
+
+@pytest.fixture(scope="module")
+def filtered_trials() -> np.ndarray:
+    path = REPO_ROOT / "tests" / "golden" / "reference_filtered.npz"
+    if not path.is_file():
+        pytest.skip("golden filtered fixture missing — run tools/make_golden.py")
+    with np.load(path, allow_pickle=False) as z:
+        return np.asarray(z["filtered"], np.float32)
+
+
+@pytest.mark.parametrize("manifest,bound", MANIFESTS)
+def test_shipped_checkpoint_spectral_parity(manifest, bound, filtered_trials):
+    mpath = REPO_ROOT / manifest
+    if not mpath.is_file():
+        pytest.skip(f"{manifest} not present")
+    x = jnp.asarray(filtered_trials)
+
+    p_fft = _ensemble_probs(mpath, x, "fft")
+    p_mm = _ensemble_probs(mpath, x, "matmul")
+
+    # the deployment claim: exact argmax parity on every shipped trial
+    np.testing.assert_array_equal(p_fft.argmax(1), p_mm.argmax(1))
+    # and the probabilities themselves barely move (bounds sit well above
+    # the measured deltas in the MANIFESTS comment)
+    assert float(np.abs(p_fft - p_mm).max()) < bound
