@@ -2,14 +2,21 @@
 
 A state-space-style sequence model in the spirit of Orvieto et al. 2023
 ("Resurrecting Recurrent Neural Networks for Long Sequences"): a DIAGONAL
-complex linear recurrence h_t = lambda * h_{t-1} + B x_t whose entire
-625-step evolution is computed by `jax.lax.associative_scan` — log-depth
-on the TPU instead of the LSTM's 625 serial carry steps (the recurrence
-the reference's decoder is built on, reference: lstm_eeg_model.py:13-39).
-The per-step operator is element-wise (diagonal), so the scan's combine
-is two fused multiplies — no MXU work inside the scan at all; all matmuls
-(input projection, readout, head) are batched over [B*T] and land on the
-MXU at full tile width.
+complex linear recurrence h_t = lambda * h_{t-1} + B x_t, evaluated
+without 625 serial carry steps (the recurrence the reference's decoder
+is built on, reference: lstm_eeg_model.py:13-39). Two engines
+(LRUConfig.scan_impl):
+
+  * "chunked" (default): the transition is constant, so each length-L
+    chunk's states are an explicit causal matmul against the analytic
+    kernel lam^(i-j) — MXU work — with one serial elementwise carry per
+    chunk boundary. O(1) HBM passes over the [B, T, H] trajectory.
+  * "associative": `jax.lax.associative_scan` — log-DEPTH but one
+    trajectory pass per combine level (~log2 T), which measured
+    HBM-bound at ~66k windows/s and motivated the chunked engine.
+
+All matmuls (kernel, input projection, readout, head) are batched and
+land on the MXU at full tile width.
 
 Stability by construction: lambda = exp(-exp(nu) + i*exp(theta)) keeps
 |lambda| < 1 for any real nu, and the input is scaled by
@@ -51,6 +58,18 @@ class LRUConfig:
     # starves it on 143-trial folds
     dropout: float = 0.2
     ln_eps: float = 1e-5
+    # recurrence engine. "chunked" (default): the constant-coefficient
+    # recurrence is evaluated as a per-chunk causal matmul against the
+    # analytic kernel lam^(i-j) plus a tiny serial carry across chunks —
+    # the full [B, T, H] complex trajectory is touched O(1) times instead
+    # of once per associative-combine level (the HBM binding that capped
+    # the family at ~66k windows/s, docs/BENCHMARKS.md). "associative"
+    # keeps the log-depth jax.lax.associative_scan reference path.
+    scan_impl: str = "chunked"
+    # chunk length for the chunked engine; None picks the largest divisor
+    # of T that is <= 128 (125 for the reference T=625 — a near-perfect
+    # MXU tile)
+    chunk: Optional[int] = None
 
 
 def init_lru_params(rng: jax.Array, cfg: LRUConfig) -> Params:
@@ -98,11 +117,10 @@ def init_lru_params(rng: jax.Array, cfg: LRUConfig) -> Params:
     }
 
 
-def _lru_states(params: Params, x_btc: jnp.ndarray) -> jnp.ndarray:
-    """[B, T, C] -> complex states [B, T, H] via associative scan."""
-    lam = jnp.exp(
-        -jnp.exp(params["nu"]) + 1j * jnp.exp(params["theta"])
-    )  # [H]
+def _input_drive(params: Params, x_btc: jnp.ndarray) -> jnp.ndarray:
+    """u_t = gamma * B x_t  ([B, T, H] complex64) and log(lambda) [H]."""
+    log_lam = -jnp.exp(params["nu"]) + 1j * jnp.exp(params["theta"])  # [H]
+    lam = jnp.exp(log_lam)
     gamma = jnp.sqrt(
         jnp.maximum(1.0 - jnp.abs(lam) ** 2, 1e-6)
     ).astype(jnp.complex64)
@@ -110,8 +128,79 @@ def _lru_states(params: Params, x_btc: jnp.ndarray) -> jnp.ndarray:
     u = jnp.einsum(
         "btc,ch->bth", x_btc.astype(jnp.complex64), b,
     ) * gamma  # [B, T, H]
+    return u, log_lam
 
-    lam_t = jnp.broadcast_to(lam, u.shape)  # per-step operator (constant)
+
+def _chunk_len(t: int, requested: Optional[int]) -> int:
+    if requested is not None:
+        if t % requested:
+            raise ValueError(f"chunk={requested} does not divide T={t}")
+        return requested
+    best = 1
+    for cand in range(2, min(t, 128) + 1):
+        if t % cand == 0:
+            best = cand
+    return best
+
+
+def _lru_states_chunked(
+    params: Params, x_btc: jnp.ndarray, chunk: Optional[int] = None
+) -> jnp.ndarray:
+    """[B, T, C] -> complex states [B, T, H], chunked-kernel engine.
+
+    The recurrence h_t = lam h_{t-1} + u_t has a CONSTANT diagonal
+    transition, so within a length-L chunk the solution is an explicit
+    causal convolution against the analytic kernel K[i, j] = lam^(i-j)
+    (i >= j) — ONE [L, L] matmul per (band of) hidden state, MXU work —
+    and chunks couple through a single carry h_end scanned serially over
+    T/L steps of elementwise [B, H] math. HBM traffic is O(1) passes over
+    the [B, T, H] trajectory vs one pass per combine level (~log2 T) for
+    `associative_scan`, which measured HBM-bound at ~66k windows/s.
+    Kernel entries use non-negative exponents only (lam^k, k >= 0), so
+    nothing is ever divided by a decaying power — numerically stable for
+    any |lam| < 1 and exactly equal to the sequential recurrence up to
+    f32 dot-product reordering."""
+    u, log_lam = _input_drive(params, x_btc)
+    bsz, t, h = u.shape
+    el = _chunk_len(t, chunk)
+    nc = t // el
+    u4 = u.reshape(bsz, nc, el, h)
+
+    k = jnp.arange(el)
+    diff = k[:, None] - k[None, :]  # [L, L]
+    # exp only sees non-negative exponents (masked BEFORE exp, so the
+    # discarded branch cannot overflow and poison gradients)
+    kern = jnp.where(
+        (diff >= 0)[..., None],
+        jnp.exp(jnp.maximum(diff, 0)[..., None] * log_lam[None, None, :]),
+        0.0,
+    )  # [L, L, H]
+    hp = jax.lax.Precision.HIGHEST
+    hloc = jnp.einsum("ijh,bnjh->bnih", kern, u4, precision=hp)
+
+    # serial carry across chunks: c_n = lam^L c_{n-1} + hloc[n, L-1]
+    lam_l = jnp.exp(float(el) * log_lam)  # [H]
+    ends = jnp.moveaxis(hloc[:, :, -1], 1, 0)  # [nc, B, H]
+
+    def step(c, e):
+        return lam_l * c + e, c  # emit the carry ENTERING this chunk
+
+    c0 = jnp.zeros((bsz, h), jnp.complex64) + (
+        u[:, :1, 0] * 0.0
+    ).astype(jnp.complex64)
+    _, prevs = jax.lax.scan(step, c0, ends)  # prevs[n] = c_{n-1}
+    prevs = jnp.moveaxis(prevs, 0, 1)  # [B, nc, H]
+
+    lam_ip1 = jnp.exp((k + 1.0)[:, None] * log_lam[None, :])  # [L, H]
+    full = hloc + prevs[:, :, None, :] * lam_ip1[None, None]
+    return full.reshape(bsz, t, h)
+
+
+def _lru_states_associative(params: Params, x_btc: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, C] -> complex states [B, T, H] via associative scan (the
+    log-depth reference engine the chunked path is tested against)."""
+    u, log_lam = _input_drive(params, x_btc)
+    lam_t = jnp.broadcast_to(jnp.exp(log_lam), u.shape)
 
     def combine(left, right):
         a1, b1 = left
@@ -120,6 +209,17 @@ def _lru_states(params: Params, x_btc: jnp.ndarray) -> jnp.ndarray:
 
     _, h = jax.lax.associative_scan(combine, (lam_t, u), axis=1)
     return h
+
+
+def _lru_states(
+    params: Params, x_btc: jnp.ndarray, cfg: "LRUConfig" = None
+) -> jnp.ndarray:
+    cfg = cfg or LRUConfig()
+    if cfg.scan_impl == "chunked":
+        return _lru_states_chunked(params, x_btc, cfg.chunk)
+    if cfg.scan_impl == "associative":
+        return _lru_states_associative(params, x_btc)
+    raise ValueError(f"unknown scan_impl {cfg.scan_impl!r}")
 
 
 def lru_apply(
@@ -132,7 +232,7 @@ def lru_apply(
 ) -> jnp.ndarray:
     if train and rng is None:
         raise ValueError("train=True requires rng")
-    h = _lru_states(params, x_btc.astype(jnp.float32))
+    h = _lru_states(params, x_btc.astype(jnp.float32), cfg)
     cc = (params["c_re"] + 1j * params["c_im"]).astype(jnp.complex64)
     y = jnp.einsum("bth,hr->btr", h, cc).real  # [B, T, readout]
     y = jax.nn.gelu(y)

@@ -234,17 +234,19 @@ def test_whitened_checkpoint_serves_without_model_kw(windows):
     np.testing.assert_allclose(plain, with_kw, atol=1e-6)
 
 
-def test_lru_scan_matches_sequential(windows):
-    """The associative-scan state trajectory equals the sequential
-    recurrence h_t = lam*h_{t-1} + gamma*B x_t it parallelizes."""
+@pytest.mark.parametrize("impl", ["associative", "chunked"])
+def test_lru_scan_matches_sequential(windows, impl):
+    """Both state engines (associative scan and the chunked kernel-matmul
+    path) equal the sequential recurrence h_t = lam*h_{t-1} + gamma*B x_t
+    they parallelize."""
     import jax.numpy as jnp
 
     from neural_speech_decoding_tpu.models import lru as m
 
-    cfg = m.LRUConfig(hidden=16)
+    cfg = m.LRUConfig(hidden=16, scan_impl=impl)
     params = m.init_lru_params(jax.random.PRNGKey(0), cfg)
     x = jnp.asarray(np.asarray(windows)[:2, :50], jnp.float32)
-    h = np.asarray(m._lru_states(params, x))
+    h = np.asarray(m._lru_states(params, x, cfg))
 
     lam = np.exp(-np.exp(np.asarray(params["nu"]))
                  + 1j * np.exp(np.asarray(params["theta"])))
@@ -257,6 +259,33 @@ def test_lru_scan_matches_sequential(windows):
         state = lam * state + u[:, t]
         ref[:, t] = state
     np.testing.assert_allclose(h, ref.astype(np.complex64), rtol=2e-4, atol=1e-5)
+
+
+def test_lru_chunked_matches_associative_full_window(windows):
+    """Full reference geometry (T=625 -> chunk 125 x 5): logits from the
+    chunked engine match the associative engine, and gradients through the
+    chunked kernel are finite (the masked-exp construction must not leak
+    NaNs from the discarded triangle)."""
+    import jax.numpy as jnp
+
+    from neural_speech_decoding_tpu.models import lru as m
+
+    params = m.init_lru_params(jax.random.PRNGKey(2), m.LRUConfig())
+    x = jnp.asarray(np.asarray(windows)[:4], jnp.float32)
+    la = np.asarray(
+        m.lru_apply(params, x, m.LRUConfig(scan_impl="associative"))
+    )
+    lc = np.asarray(m.lru_apply(params, x, m.LRUConfig(scan_impl="chunked")))
+    np.testing.assert_allclose(lc, la, rtol=2e-4, atol=2e-4)
+
+    cfg = m.LRUConfig(scan_impl="chunked")
+
+    def loss(p):
+        return jnp.sum(m.lru_apply(p, x, cfg) ** 2)
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
 
 
 def test_lru_stability_and_shapes(windows):
