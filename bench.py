@@ -93,6 +93,27 @@ def cpu_reference_windows_per_sec(windows: np.ndarray) -> float:
     return float(np.median(rates))
 
 
+def _fetch_rtt_ms(n: int = 20) -> float:
+    """p50 of dispatching + fetching a near-zero-compute jitted op on a
+    tiny array — the pure host<->device overhead (~29 ms through the axon
+    tunnel, ~0 on a local device). A fresh dispatch per sample is required
+    (jax.Array caches its host copy after the first fetch), and it matches
+    what the batch-1 number should be corrected by: everything except the
+    model's own compute."""
+    import jax
+    import jax.numpy as jnp
+
+    noop = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros((1, 3), jnp.float32)
+    np.asarray(noop(z))  # compile + warm
+    samples = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(noop(z))
+        samples.append(time.perf_counter() - t0)
+    return float(np.median(samples) * 1e3)
+
+
 def tpu_windows_per_sec(windows: np.ndarray) -> tuple[float, float, float, str]:
     import dataclasses
 
@@ -159,7 +180,9 @@ def tpu_windows_per_sec(windows: np.ndarray) -> tuple[float, float, float, str]:
         np.asarray(pipeline(params, one))
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)
-    return throughput, turbo_throughput, p50_ms, device_kind
+    rtt_ms = _fetch_rtt_ms()
+    compute_p50_ms = max(0.0, p50_ms - rtt_ms)
+    return throughput, turbo_throughput, p50_ms, compute_p50_ms, rtt_ms, device_kind
 
 
 def mesh_windows_per_sec(windows: np.ndarray) -> tuple[float, int, str]:
@@ -301,7 +324,9 @@ def main() -> None:
         )
         return
 
-    tpu_wps, turbo_wps, p50_ms, device_kind = tpu_windows_per_sec(windows)
+    tpu_wps, turbo_wps, p50_ms, compute_p50_ms, rtt_ms, device_kind = (
+        tpu_windows_per_sec(windows)
+    )
     try:
         cpu_wps = cpu_reference_windows_per_sec(windows)
     except Exception as e:  # torch missing etc. — report throughput alone
@@ -338,6 +363,12 @@ def main() -> None:
                 "gate_math": DecoderConfig().gate_math,
                 "flagship_wps": round(flagship_wps, 1) if flagship_wps else None,
                 "batch1_p50_latency_ms": round(p50_ms, 2),
+                # the same measurement minus a calibrated empty-dispatch
+                # round-trip (tunnel_rtt_p50_ms): what the chip itself
+                # spends per window — ~80% of the raw number is transport
+                # through the dev tunnel (docs/BENCHMARKS.md)
+                "batch1_compute_p50_ms": round(compute_p50_ms, 2),
+                "tunnel_rtt_p50_ms": round(rtt_ms, 2),
                 "batch": TPU_BATCH,
                 "device": device_kind,
             }

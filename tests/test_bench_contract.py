@@ -68,5 +68,13 @@ def test_bench_emits_one_json_line(extra):
         # (VERDICT r2 #4): the driver record should explain the
         # rational-gates trade and show the repo's best decoder
         assert payload["gate_math"] == "rational"
+        # transfer-corrected latency (VERDICT r3 #4): both the raw synced
+        # number and the compute-only figure ship in the driver record
+        assert payload["batch1_p50_latency_ms"] > 0
+        assert payload["batch1_compute_p50_ms"] >= 0
+        assert payload["tunnel_rtt_p50_ms"] >= 0
+        assert (
+            payload["batch1_compute_p50_ms"] <= payload["batch1_p50_latency_ms"]
+        )
         if (REPO_ROOT / "checkpoints" / "logcov8w_deploy_manifest.json").is_file():
             assert payload["flagship_wps"] and payload["flagship_wps"] > 0
