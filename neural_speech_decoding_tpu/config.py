@@ -82,6 +82,16 @@ class DecoderConfig:
     # Training always runs per-layer (inter-layer dropout needs the
     # boundary); False restores the per-layer eval scan.
     fused_scan: bool = True
+    # lax.scan unroll factor for the per-layer recurrence (the training
+    # path): >1 trades HLO size for fewer loop trips. Must divide T.
+    scan_unroll: int = 1
+    # gradient rematerialization over the recurrence: split the T-step
+    # scan into this many jax.checkpoint-ed chunks (outer scan over
+    # chunks, inner scan over T/chunks steps). Backward recomputes each
+    # chunk's activations instead of storing all T steps — the standard
+    # sqrt-residual treatment for backprop-through-long-scan; also the
+    # compile-time lever for the 625-step training graph. 0/1 disables.
+    remat_chunks: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,6 +26,7 @@ samples the slope U(lower, upper) per element (used by train/).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -91,6 +92,8 @@ def _lstm_layer(
     precision,
     recurrence_dtype=jnp.float32,
     gate_math: str = "rational",
+    unroll: int = 1,
+    remat_chunks: int = 0,
 ) -> jnp.ndarray:
     """One LSTM layer over the full sequence. [B, T, in] -> [B, T, H].
 
@@ -144,7 +147,25 @@ def _lstm_layer(
         + (x_btc[:, :1, 0] * 0.0).astype(recurrence_dtype)
     )
     init = (zero, zero)
-    _, hs = jax.lax.scan(step, init, xp_tbh)
+    if remat_chunks and remat_chunks > 1:
+        # chunked gradient rematerialization: the backward pass stores one
+        # carry per chunk and recomputes the chunk's T/chunks activations,
+        # instead of saving all T step residuals (config.remat_chunks)
+        if t % remat_chunks:
+            raise ValueError(
+                f"remat_chunks={remat_chunks} does not divide T={t}"
+            )
+        chunk_len = t // remat_chunks
+        xs = xp_tbh.reshape(remat_chunks, chunk_len, b, xp_tbh.shape[-1])
+
+        @functools.partial(jax.checkpoint, prevent_cse=False)
+        def chunk_body(carry, xc):
+            return jax.lax.scan(step, carry, xc, unroll=unroll)
+
+        _, hs = jax.lax.scan(chunk_body, init, xs)
+        hs = hs.reshape(t, b, h_dim)
+    else:
+        _, hs = jax.lax.scan(step, init, xp_tbh, unroll=unroll)
     return jnp.transpose(hs, (1, 0, 2)).astype(jnp.float32)  # [B, T, H]
 
 
@@ -279,7 +300,10 @@ def decoder_apply(
         )
         return _head(params, out, config, train, rngs, precision)
     for l, layer in enumerate(params["lstm"]):
-        out = _lstm_layer(layer, out, precision, rec_dtype, config.gate_math)
+        out = _lstm_layer(
+            layer, out, precision, rec_dtype, config.gate_math,
+            unroll=config.scan_unroll, remat_chunks=config.remat_chunks,
+        )
         if train and config.dropout > 0 and l < n_layers - 1:
             # torch applies inter-layer dropout to every layer output except
             # the last one (nn.LSTM dropout semantics).

@@ -76,7 +76,18 @@ class EnsembleEngine:
         class_names: Optional[Sequence[str]] = None,
         turbo: bool = False,
         model_kw: Optional[dict] = None,
+        mesh=None,
+        shard_members: bool = False,
     ):
+        """`mesh`: a jax.sharding.Mesh with 'dp' (and optionally 'tp')
+        axes — the serving pass then shards the window batch over 'dp'
+        (GSPMD partitions the filter + per-member decode; the only
+        cross-device math is whatever the model itself requires). With
+        `shard_members=True` the stacked member axis is additionally
+        sharded over 'tp' (requires num_members % tp == 0), so the K
+        decoder evaluations spread over devices and the mean-softmax
+        reduction becomes one ICI collective. Without a mesh the whole
+        ensemble runs on the default device (single-chip serving)."""
         from neural_speech_decoding_tpu.models.registry import get_model
 
         if params_list is None:
@@ -93,7 +104,33 @@ class EnsembleEngine:
         self.config = config
         self.class_names = tuple(class_names or config.class_names)
         self.num_members = len(params_list)
-        self.params = jax.device_put(stack_params(params_list))
+        stacked = stack_params(params_list)
+        self._mesh = mesh
+        self._pad_multiple = 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._pad_multiple = int(mesh.shape["dp"])
+            if shard_members:
+                tp = int(mesh.shape.get("tp", 1))
+                if self.num_members % tp:
+                    raise ValueError(
+                        f"shard_members needs num_members ({self.num_members}) "
+                        f"divisible by the mesh 'tp' axis ({tp})"
+                    )
+                self.params = jax.tree_util.tree_map(
+                    lambda leaf: jax.device_put(
+                        leaf,
+                        NamedSharding(
+                            mesh, P("tp", *([None] * (jnp.ndim(leaf) - 1)))
+                        ),
+                    ),
+                    stacked,
+                )
+            else:
+                self.params = jax.device_put(stacked, NamedSharding(mesh, P()))
+        else:
+            self.params = jax.device_put(stacked)
 
         filter_cfg = config.filter
         decoder_cfg = config.decoder
@@ -127,7 +164,18 @@ class EnsembleEngine:
                 logits = jax.vmap(apply_fn, in_axes=(0, None))(stacked, filtered)
                 return jnp.mean(jax.nn.softmax(logits, axis=-1), axis=0)
 
-        self._pipeline = jax.jit(_pipeline)
+        if mesh is not None:
+            from neural_speech_decoding_tpu.parallel.sharding import (
+                batch_sharding,
+            )
+
+            # params keep their placed sharding (None = "as given"); the
+            # window batch shards over 'dp' even when fed as host numpy
+            self._pipeline = jax.jit(
+                _pipeline, in_shardings=(None, batch_sharding(mesh))
+            )
+        else:
+            self._pipeline = jax.jit(_pipeline)
         # shared with the dashboard's HTTP threads — see InferenceEngine
         self._stats = {"windows": 0, "guard_flagged": 0}
         self._flag_futures: list = []
@@ -183,10 +231,17 @@ class EnsembleEngine:
         with self._stats_lock:
             return dict(self._stats)
 
+    def _bucket_padded(self, b: int) -> int:
+        """Power-of-two bucket, rounded up to a multiple of the mesh 'dp'
+        axis so sharded batches divide evenly."""
+        bb = _bucket(b)
+        m = self._pad_multiple
+        return -(-bb // m) * m
+
     def warmup(self, batch_sizes: Sequence[int] = (1,)) -> None:
         t, c = self.config.window_samples, self.config.num_channels
         for b in batch_sizes:
-            dummy = jnp.zeros((_bucket(b), t, c), jnp.float32)
+            dummy = jnp.zeros((self._bucket_padded(b), t, c), jnp.float32)
             out = self._pipeline(self.params, dummy)
             np.asarray(out[0] if self._has_aux else out)
 
@@ -196,7 +251,7 @@ class EnsembleEngine:
         b = windows_btc.shape[0]
         if b == 0:
             return np.zeros((0, len(self.class_names)), np.float32)
-        bb = _bucket(b)
+        bb = self._bucket_padded(b)
         if bb != b:
             pad = np.zeros((bb - b,) + windows_btc.shape[1:], np.float32)
             windows_btc = np.concatenate([windows_btc, pad], axis=0)
