@@ -110,3 +110,53 @@ def test_unknown_schedule_rejected(tiny_dataset):
             train_cfg=TrainConfig(epochs=1, schedule="nope"),
             verbose=False,
         )
+
+
+def test_remat_and_unroll_training_grads_match(dataset):
+    """The remat_chunks / scan_unroll training knobs (the compile-time and
+    memory levers for backprop through the 625-step recurrence) change
+    neither the loss nor the gradients — only the schedule."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.asarray(dataset.windows)[:4, :100], jnp.float32)
+    y = jnp.asarray(np.asarray(dataset.labels)[:4], jnp.int32)
+    rng = jax.random.PRNGKey(3)
+
+    def grads_for(cfg):
+        from neural_speech_decoding_tpu.models.lstm import (
+            decoder_apply,
+            init_decoder_params,
+        )
+
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+
+        def loss(p):
+            logits = decoder_apply(p, x, cfg, train=True, rng=rng)
+            return -jnp.mean(
+                jnp.take_along_axis(
+                    jax.nn.log_softmax(logits, -1), y[:, None], axis=1
+                )
+            )
+
+        l, g = jax.jit(jax.value_and_grad(loss))(params)
+        return float(l), g
+
+    base_l, base_g = grads_for(DecoderConfig())
+    for kw in ({"remat_chunks": 4}, {"scan_unroll": 5},
+               {"remat_chunks": 10, "scan_unroll": 5}):
+        l, g = grads_for(DecoderConfig(**kw))
+        assert abs(l - base_l) < 1e-6, kw
+        for a, b in zip(
+            jax.tree_util.tree_leaves(base_g), jax.tree_util.tree_leaves(g)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+                err_msg=str(kw),
+            )
+
+    # indivisible chunking is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        grads_for(DecoderConfig(remat_chunks=7))
