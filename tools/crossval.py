@@ -345,15 +345,29 @@ def run_crossval(
         ours["swa"].append(float((swa_probs.argmax(1) == y_val).mean()))
         ours["biased"].append(float(np.mean([m[3] for m in members])))
         seed_means["nested"].append(float(np.mean(per_seed_nested)))
-        fold_detail.append(
-            {
-                "y_val": [int(v) for v in y_val],
-                "members": [m[0] for m in members],
-                "member_nested_probs": [
-                    p.round(5).tolist() for p in member_nested_probs
-                ],
-            }
-        )
+        detail = {
+            "y_val": [int(v) for v in y_val],
+            "members": [m[0] for m in members],
+            "member_nested_probs": [
+                p.round(5).tolist() for p in member_nested_probs
+            ],
+        }
+        if len(families) == 1 and families[0] in fold_feats:
+            # featurizing single-family runs also store the held-out
+            # tangent features and each member's nested head params, so
+            # tools/session_eval.py can study PRE-softmax aggregation
+            # (averaging the 10 windows' tangent features per session draw
+            # instead of their probabilities) without retraining
+            detail["val_features"] = (
+                np.asarray(fold_feats[families[0]][2]).round(5).tolist()
+            )
+            detail["member_nested_params"] = [
+                jax.tree_util.tree_map(
+                    lambda a: np.asarray(a).tolist(), m[1]
+                )
+                for m in members
+            ]
+        fold_detail.append(detail)
 
         if len(spec_probe.class_names) == 3:
             ref_logits = np.asarray(ref_logits_fn(ref, x_val))

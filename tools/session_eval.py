@@ -31,6 +31,30 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO_ROOT))
 
 
+def _draw_indices(
+    labels: np.ndarray,
+    n_windows: int,
+    draws: int,
+    rng: np.random.Generator,
+):
+    """Per class: [draws, n_windows] index matrix into the fold's held-out
+    windows. Draws sample without replacement when the class has >=
+    n_windows held-out windows, with replacement otherwise (mirroring that
+    the reference's 10 trials are 10 real windows of one session, possibly
+    repeating under drop-oldest backpressure)."""
+    out = {}
+    for c in np.unique(labels):
+        idx = np.flatnonzero(labels == c)
+        replace = len(idx) < n_windows
+        out[int(c)] = np.stack(
+            [
+                rng.choice(idx, size=n_windows, replace=replace)
+                for _ in range(draws)
+            ]
+        )
+    return out
+
+
 def session_accuracy_from_probs(
     probs: np.ndarray,
     labels: np.ndarray,
@@ -39,22 +63,45 @@ def session_accuracy_from_probs(
     draws: int = 2000,
     rng: np.random.Generator,
 ) -> float:
-    """P(argmax of the mean over an n-window same-class draw is correct).
-
-    Draws sample without replacement when the class has >= n_windows
-    held-out windows, with replacement otherwise (mirroring that the
-    reference's 10 trials are 10 real windows of one session, possibly
-    repeating under drop-oldest backpressure)."""
+    """P(argmax of the mean over an n-window same-class draw is correct)."""
     correct = total = 0
-    for c in np.unique(labels):
-        idx = np.flatnonzero(labels == c)
-        replace = len(idx) < n_windows
-        for _ in range(draws):
-            pick = rng.choice(idx, size=n_windows, replace=replace)
-            pred = probs[pick].mean(axis=0).argmax()
-            correct += int(pred == c)
-            total += 1
+    for c, picks in _draw_indices(labels, n_windows, draws, rng).items():
+        pred = probs[picks].mean(axis=1).argmax(axis=1)  # [draws]
+        correct += int((pred == c).sum())
+        total += picks.shape[0]
     return correct / total
+
+
+def session_accuracy_feature_avg(
+    feats: np.ndarray,
+    labels: np.ndarray,
+    member_params,
+    head_fn,
+    *,
+    n_windows: int = 10,
+    draws: int = 2000,
+    rng: np.random.Generator,
+) -> float:
+    """Session accuracy with PRE-softmax integration: the n windows'
+    tangent-space FEATURES are averaged per draw, then each member's head
+    runs once on the averaged feature vector and the member softmaxes are
+    averaged (VERDICT r3 #5 — integrating the noise before the
+    nonlinearity, the protocol lever only the covariance family offers).
+    """
+    import jax.numpy as jnp
+
+    per_class = _draw_indices(labels, n_windows, draws, rng)
+    classes = sorted(per_class)
+    mean_feats = np.concatenate(
+        [feats[per_class[c]].mean(axis=1) for c in classes]
+    )  # [n_classes*draws, F]
+    probs = np.mean(
+        [np.asarray(head_fn(p, jnp.asarray(mean_feats))) for p in member_params],
+        axis=0,
+    )
+    pred = probs.argmax(axis=1).reshape(len(classes), -1)
+    truth = np.asarray(classes)[:, None]
+    return float((pred == truth).mean())
 
 
 def evaluate(
@@ -106,8 +153,31 @@ def evaluate(
         )
         ref_probs_fn = lambda w: np.asarray(fn(ref, w))  # noqa: E731
 
+    # feature-space aggregation (only when the CV run stored held-out
+    # features + member head params — featurizing single-family runs)
+    head_fn = None
+    if all(
+        "val_features" in fd and "member_nested_params" in fd
+        for fd in fold_detail
+    ):
+        spec = get_model(detail["model"], **(cfg.get("model_kw") or {}))
+        head_fn = jax.jit(
+            lambda p, f: jax.nn.softmax(
+                spec.head_apply(p, f, train=False), axis=-1
+            )
+        )
+
+    def _params_from_lists(obj):
+        if isinstance(obj, dict):
+            return {k: _params_from_lists(v) for k, v in obj.items()}
+        return np.asarray(obj, np.float32)
+
     rng = np.random.default_rng(sample_seed)
-    rows = {"ours": [], "ours_window": [], "ref": [], "ref_window": []}
+    rows = {
+        "ours": [], "ours_featavg": [], "ours_window": [],
+        "ref": [], "ref_window": [],
+    }
+    fold_n_per_class = []
     for fold_i, (val_idx, fd) in enumerate(zip(folds, fold_detail)):
         y_val = np.asarray(fd["y_val"])
         if not np.array_equal(ds.labels[val_idx], y_val):
@@ -115,6 +185,9 @@ def evaluate(
                 f"fold {fold_i}: reconstructed fold labels disagree with "
                 f"{cv_json} — dataset or fold seed drifted since the CV run"
             )
+        fold_n_per_class.append(
+            {int(c): int((y_val == c).sum()) for c in np.unique(y_val)}
+        )
         ours = np.mean(np.asarray(fd["member_nested_probs"]), axis=0)
         rows["ours"].append(
             session_accuracy_from_probs(
@@ -122,6 +195,17 @@ def evaluate(
             )
         )
         rows["ours_window"].append(float((ours.argmax(1) == y_val).mean()))
+        if head_fn is not None:
+            feats = np.asarray(fd["val_features"], np.float32)
+            member_params = [
+                _params_from_lists(p) for p in fd["member_nested_params"]
+            ]
+            rows["ours_featavg"].append(
+                session_accuracy_feature_avg(
+                    feats, y_val, member_params, head_fn,
+                    n_windows=n_windows, draws=draws, rng=rng,
+                )
+            )
         if ref_probs_fn is not None:
             rp = ref_probs_fn(filtered[val_idx])
             rows["ref"].append(
@@ -143,7 +227,12 @@ def evaluate(
         "model": detail["model"],
         "n_windows": n_windows,
         "draws_per_class_per_fold": draws,
+        # the real sample size behind the resampled draws: held-out
+        # windows per class per fold (draws are overlapping subsets of
+        # these — fold-level n is what limits the error bar)
+        "fold_n_per_class": fold_n_per_class,
         "session": agg(rows["ours"]),
+        "session_feature_avg": agg(rows["ours_featavg"]),
         "per_window": agg(rows["ours_window"]),
         "reference_session": agg(rows["ref"]),
         "reference_per_window": agg(rows["ref_window"]),
@@ -175,6 +264,12 @@ def main() -> None:
         print(f"  session ({args.windows}-window avg): "
               f"{s['mean']:.3f} ± {s['std']:.3f}   "
               f"(per-window {w['mean']:.3f})")
+        if r["session_feature_avg"]:
+            f = r["session_feature_avg"]
+            print(f"  session (feature-space avg):       "
+                  f"{f['mean']:.3f} ± {f['std']:.3f}")
+        ns = [min(d.values()) for d in r["fold_n_per_class"]]
+        print(f"  held-out windows/class/fold (min): {ns}")
         if r["reference_session"]:
             rs, rw = r["reference_session"], r["reference_per_window"]
             print(f"  reference checkpoint:              "
