@@ -159,6 +159,150 @@ def lstm_layer_pallas(
     )
 
 
+def _lstm2_kernel(
+    w_ih1_ref, w_hh1_ref, b1_ref, w_ih2_ref, w_hh2_ref, b2_ref,
+    x_ref, out_ref, xp_ref, h1seq_ref, h1_ref, c1_ref, h2_ref, c2_ref,
+    *, gate_math: str = "builtin",
+):
+    """Both LSTM layers in ONE kernel pass (round-4 port of the scan
+    path's fusion work): layer 1 runs over the time chunk into VMEM
+    scratch, layer 2's input projection for the WHOLE chunk is then one
+    MXU matmul over that scratch (hoisted, like the scan path hoists it
+    over the whole sequence), and layer 2's recurrence follows — the
+    [T, B, H] inter-layer trajectory never touches HBM and the second
+    pallas_call of the per-layer formulation disappears."""
+    tc = pl.program_id(1)
+
+    @pl.when(tc == 0)
+    def _():
+        h1_ref[:] = jnp.zeros_like(h1_ref)
+        c1_ref[:] = jnp.zeros_like(c1_ref)
+        h2_ref[:] = jnp.zeros_like(h2_ref)
+        c2_ref[:] = jnp.zeros_like(c2_ref)
+
+    chunk, bb, in_dim = x_ref.shape
+    h_dim = h1_ref.shape[1]
+    mm = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    xp_ref[:] = (
+        mm(x_ref[:].reshape(chunk * bb, in_dim), w_ih1_ref[:]) + b1_ref[:]
+    ).reshape(chunk, bb, 4 * h_dim)
+    w_hh1 = w_hh1_ref[:]
+
+    def step1(t, carry):
+        h, c = carry
+        gates = xp_ref[t] + mm(h, w_hh1)
+        i, f, g, o = gates_ops.lstm_gate_block(gates, h_dim, gate_math)
+        c = f * c + i * g
+        h = o * gates_ops.cell_tanh(c, gate_math)
+        h1seq_ref[t] = h
+        return h, c
+
+    h1, c1 = jax.lax.fori_loop(0, chunk, step1, (h1_ref[:], c1_ref[:]))
+    h1_ref[:] = h1
+    c1_ref[:] = c1
+
+    # layer 2's chunk input projection — one MXU matmul, reusing xp scratch
+    xp_ref[:] = (
+        mm(h1seq_ref[:].reshape(chunk * bb, h_dim), w_ih2_ref[:]) + b2_ref[:]
+    ).reshape(chunk, bb, 4 * h_dim)
+    w_hh2 = w_hh2_ref[:]
+
+    def step2(t, carry):
+        h, c = carry
+        gates = xp_ref[t] + mm(h, w_hh2)
+        i, f, g, o = gates_ops.lstm_gate_block(gates, h_dim, gate_math)
+        c = f * c + i * g
+        h = o * gates_ops.cell_tanh(c, gate_math)
+        out_ref[t] = h
+        return h, c
+
+    h2, c2 = jax.lax.fori_loop(0, chunk, step2, (h2_ref[:], c2_ref[:]))
+    h2_ref[:] = h2
+    c2_ref[:] = c2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_b", "block_t", "interpret", "gate_math")
+)
+def lstm_two_layer_pallas(
+    x_tbc: jnp.ndarray,
+    l1: dict,
+    l2: dict,
+    *,
+    block_b: int = 512,
+    block_t: int = 25,
+    interpret: bool = False,
+    gate_math: str = "builtin",
+) -> jnp.ndarray:
+    """Fused two-layer LSTM, time-major: [T, B, in] -> [T, B, H] (layer-2
+    states). Rational mode folds the pre-halved sigmoid columns into both
+    layers' weights outside the kernel, exactly like models/lstm.py."""
+    t, bsz, in_dim = x_tbc.shape
+    h_dim = l1["w_hh"].shape[0]
+    if bsz % block_b:
+        block_b = bsz
+    if t % block_t:
+        raise ValueError(f"T={t} not divisible by block_t={block_t}")
+
+    w_ih1, w_hh1, b1 = l1["w_ih"], l1["w_hh"], l1["b"]
+    w_ih2, w_hh2, b2 = l2["w_ih"], l2["w_hh"], l2["b"]
+    if gate_math == "rational":
+        half = gates_ops.sigmoid_fold_mask(h_dim)
+        w_ih1, w_hh1, b1 = w_ih1 * half, w_hh1 * half, b1 * half
+        w_ih2, w_hh2, b2 = w_ih2 * half, w_hh2 * half, b2 * half
+
+    grid = (bsz // block_b, t // block_t)
+    rep = lambda i, tc: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_lstm2_kernel, gate_math=gate_math),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((in_dim, 4 * h_dim), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, 4 * h_dim), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * h_dim), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, 4 * h_dim), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, 4 * h_dim), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * h_dim), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_t, block_b, in_dim),
+                lambda i, tc: (tc, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_t, block_b, h_dim),
+            lambda i, tc: (tc, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, bsz, h_dim), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_t, block_b, 4 * h_dim), jnp.float32),  # xp
+            pltpu.VMEM((block_t, block_b, h_dim), jnp.float32),  # h1 seq
+            pltpu.VMEM((block_b, h_dim), jnp.float32),  # h1
+            pltpu.VMEM((block_b, h_dim), jnp.float32),  # c1
+            pltpu.VMEM((block_b, h_dim), jnp.float32),  # h2
+            pltpu.VMEM((block_b, h_dim), jnp.float32),  # c2
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        w_ih1.astype(jnp.float32),
+        w_hh1.astype(jnp.float32),
+        b1.reshape(1, -1).astype(jnp.float32),
+        w_ih2.astype(jnp.float32),
+        w_hh2.astype(jnp.float32),
+        b2.reshape(1, -1).astype(jnp.float32),
+        x_tbc.astype(jnp.float32),
+    )
+
+
 def decoder_apply_pallas(params, x_btc, config=None, *, block_b=512, block_t=25, interpret=False, gate_math=None):
     """Eval-mode decoder forward using the Pallas recurrence for both LSTM
     layers. The sequence stays time-major between layers and through
@@ -171,12 +315,19 @@ def decoder_apply_pallas(params, x_btc, config=None, *, block_b=512, block_t=25,
     if gate_math is None:
         gate_math = config.gate_math
     out = jnp.transpose(x_btc.astype(jnp.float32), (1, 0, 2))  # [T, B, C]
-    for layer in params["lstm"]:
-        out = lstm_layer_pallas(
-            out, layer["w_ih"], layer["w_hh"], layer["b"],
+    if len(params["lstm"]) == 2:
+        out = lstm_two_layer_pallas(
+            out, params["lstm"][0], params["lstm"][1],
             block_b=block_b, block_t=block_t, interpret=interpret,
             gate_math=gate_math,
         )
+    else:
+        for layer in params["lstm"]:
+            out = lstm_layer_pallas(
+                out, layer["w_ih"], layer["w_hh"], layer["b"],
+                block_b=block_b, block_t=block_t, interpret=interpret,
+                gate_math=gate_math,
+            )
 
     # attention pooling over time (axis 0 in this layout); HIGHEST matmul
     # precision — default (bf16) einsums over T=625 cost ~1e-2 in logits
