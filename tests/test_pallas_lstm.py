@@ -70,3 +70,44 @@ def test_bad_block_t_raises(params):
     with pytest.raises(ValueError, match="block_t"):
         lstm_layer_pallas(x, layer["w_ih"], layer["w_hh"], layer["b"],
                           block_t=123, interpret=True)
+
+
+def test_two_layer_fused_kernel_matches_scan(params):
+    """The fused two-layer kernel (round 4) matches the XLA scan path in
+    both gate-math modes, and its state carries across time chunks."""
+    from neural_speech_decoding_tpu.ops.pallas.lstm import (
+        lstm_two_layer_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 250, 8)).astype(np.float32)
+    xt = np.transpose(x, (1, 0, 2))
+    l1, l2 = params["lstm"]
+    for gm in ("builtin", "rational"):
+        ref = _lstm_layer(
+            l2,
+            np.asarray(
+                _lstm_layer(l1, x, jax.lax.Precision.HIGHEST, gate_math=gm)
+            ),
+            jax.lax.Precision.HIGHEST,
+            gate_math=gm,
+        )
+        ours = np.asarray(
+            lstm_two_layer_pallas(
+                xt, l1, l2, block_b=2, block_t=50, interpret=True,
+                gate_math=gm,
+            )
+        )
+        np.testing.assert_allclose(
+            np.transpose(ours, (1, 0, 2)), np.asarray(ref),
+            rtol=2e-5, atol=2e-6, err_msg=gm,
+        )
+    one_chunk = np.asarray(
+        lstm_two_layer_pallas(xt, l1, l2, block_b=2, block_t=250,
+                              interpret=True)
+    )
+    five_chunks = np.asarray(
+        lstm_two_layer_pallas(xt, l1, l2, block_b=2, block_t=50,
+                              interpret=True)
+    )
+    np.testing.assert_allclose(five_chunks, one_chunk, rtol=1e-5, atol=1e-6)
