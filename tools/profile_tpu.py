@@ -244,8 +244,85 @@ def main_logcov():
         print(f"  degree {d:3d}: max|logm err| {np.abs(got - exact).max():.2e}")
 
 
+def main_lru():
+    """LRU family: chunked-kernel vs associative-scan recurrence engines
+    (models/lru.py, round 4). `python tools/profile_tpu.py --lru
+    [--batch N]` — full decode pipeline (filter + lru_apply) plus the
+    states-only stage, with cross-engine agreement checked on-chip."""
+    import dataclasses
+
+    from neural_speech_decoding_tpu.models import lru as m
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lru", action="store_true")
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--chunks", default="25,125")
+    args = ap.parse_args()
+    b = args.batch
+
+    windows = load_trials().windows
+    reps = int(np.ceil(b / windows.shape[0]))
+    fcfg = FilterConfig(precision="fast")
+    raw = jnp.asarray(np.tile(windows, (reps, 1, 1))[:b])
+    filtered = jnp.asarray(
+        np.asarray(
+            jax.jit(lambda w: jax.vmap(lambda x: mai_filter(x, fcfg))(w))(raw)
+        )
+    )
+
+    trivial = jax.jit(lambda x: x + 1.0)
+    rtt = bench(trivial, jnp.ones((8, 8)), iters=5)
+    print(f"tunnel rtt ~{rtt * 1e3:.1f} ms; B={b}")
+
+    params = m.init_lru_params(jax.random.PRNGKey(0), m.LRUConfig())
+
+    ref_logits = None
+    for label, cfg in [
+        ("associative", m.LRUConfig(scan_impl="associative")),
+    ] + [
+        (f"chunked@{c}", m.LRUConfig(scan_impl="chunked", chunk=int(c)))
+        for c in args.chunks.split(",")
+    ]:
+        states_fn = jax.jit(
+            lambda p, w, cfg=cfg: jnp.sum(
+                jnp.abs(m._lru_states(p, w, cfg)) ** 2
+            )
+        )
+        apply_fn = jax.jit(
+            lambda p, w, cfg=cfg: m.lru_apply(p, w, cfg, train=False)
+        )
+        t_states = bench(states_fn, params, filtered)
+        t_apply = bench(apply_fn, params, filtered)
+        logits = np.asarray(apply_fn(params, filtered[:256]))
+        if ref_logits is None:
+            ref_logits = logits
+            tag = ""
+        else:
+            tag = f"  max|dlogit|={np.abs(logits - ref_logits).max():.1e}"
+        print(
+            f"  {label:<14} states {t_states * 1e3:8.2f} ms "
+            f"({b / t_states:9.0f} w/s) | full {t_apply * 1e3:8.2f} ms "
+            f"({b / t_apply:9.0f} w/s){tag}"
+        )
+
+    # end-to-end decode (filter + lru) for the serving-table row
+    full = jax.jit(
+        lambda p, w: jax.nn.softmax(
+            m.lru_apply(
+                p, jax.vmap(lambda x: mai_filter(x, fcfg))(w),
+                m.LRUConfig(), train=False,
+            ),
+            -1,
+        )
+    )
+    t = bench(full, params, raw)
+    print(f"  pipeline(chunked default): {t * 1e3:8.2f} ms ({b / t:9.0f} w/s)")
+
+
 if __name__ == "__main__":
     if "--logcov" in sys.argv:
         main_logcov()
+    elif "--lru" in sys.argv:
+        main_lru()
     else:
         main()
