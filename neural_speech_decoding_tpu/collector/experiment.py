@@ -162,6 +162,11 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--words-csv", default=None,
                     help="PsychoPy-style conditions file (words header)")
+    ap.add_argument("--psyexp", default=None,
+                    help="PsychoPy Builder .psyexp to drive the session: "
+                         "beep/word/cool-off timings + vocabulary parsed "
+                         "from the XML (collector/psyexp.py); --reps and "
+                         "--words-csv still override")
     ap.add_argument(
         "--stimulus", nargs="?", const="terminal", default=None,
         choices=("terminal", "web"),
@@ -175,7 +180,16 @@ def main() -> None:
                     help="port for --stimulus web (0 = ephemeral)")
     args = ap.parse_args()
 
-    words = load_words_csv(args.words_csv) if args.words_csv else DEFAULT_WORDS
+    base_cfg = None
+    if args.psyexp:
+        from neural_speech_decoding_tpu.collector.psyexp import load_psyexp
+
+        base_cfg = load_psyexp(args.psyexp)
+    words = (
+        load_words_csv(args.words_csv)
+        if args.words_csv
+        else (base_cfg.words if base_cfg else DEFAULT_WORDS)
+    )
     presenter = None
     if args.stimulus == "web":
         from neural_speech_decoding_tpu.collector.web_stimulus import WebPresenter
@@ -192,7 +206,13 @@ def main() -> None:
         board = open_board(args.board, speed=args.speed)
         board.prepare_session()
         board.start_stream()
-        cfg = ExperimentConfig(words=words, n_reps=args.reps, seed=args.seed)
+        cfg = (
+            dataclasses.replace(
+                base_cfg, words=words, n_reps=args.reps, seed=args.seed
+            )
+            if base_cfg
+            else ExperimentConfig(words=words, n_reps=args.reps, seed=args.seed)
+        )
         paths = run_experiment(
             board, args.out, cfg,
             on_trial=None if args.stimulus

@@ -225,3 +225,73 @@ def test_stimulus_abort_keeps_partial_data(tmp_path):
         board.release_session()
     assert len(paths) == 1
     assert len(list(tmp_path.glob("*.csv"))) == 1
+
+
+def test_psyexp_ingestion_recovers_reference_schedule():
+    """Parsing the reference's own Builder XML recovers the exact trial
+    schedule and vocabulary (reference: DataCollectionExperiment.psyexp:
+    101-190 — beep 0.5 s, word 4 s, cool-off 1.5 s, words
+    water/food/yes/no; its words.csv is absent from the snapshot so the
+    inline conditions are the source)."""
+    from pathlib import Path
+
+    import pytest
+
+    from neural_speech_decoding_tpu.collector.psyexp import load_psyexp
+
+    ref = Path("/root/reference/DataCollectionExperiment.psyexp")
+    if not ref.is_file():
+        pytest.skip("reference .psyexp not mounted")
+    cfg = load_psyexp(ref)
+    assert cfg.beep_seconds == 0.5
+    assert cfg.word_seconds == 4.0
+    assert cfg.cooloff_seconds == 1.5
+    assert cfg.trial_seconds == 6.0
+    assert cfg.words == ("water", "food", "yes", "no")
+    # the XML itself says nReps=1 (the generated script overrides it with
+    # the string "10" — SURVEY.md §7 fidelity trap); the parser reports
+    # what the XML says
+    assert cfg.n_reps == 1
+
+
+def test_psyexp_ingestion_custom_timings(tmp_path):
+    """An edited Builder file (new timings, new vocabulary, conditions
+    file next to it) round-trips into ExperimentConfig."""
+    from neural_speech_decoding_tpu.collector.psyexp import load_psyexp
+
+    (tmp_path / "conds.csv").write_text("words\nleft\nright\n")
+    (tmp_path / "exp.psyexp").write_text("""<?xml version="1.0" ?>
+<PsychoPy2experiment version="2025.1.1" encoding="utf-8">
+  <Routines>
+    <Routine name="trial">
+      <SoundComponent name="beep">
+        <Param val="0.3" valType="code" name="stopVal"/>
+        <Param val="0.0" valType="code" name="startVal"/>
+      </SoundComponent>
+      <TextComponent name="cue">
+        <Param val="$words" valType="str" name="text"/>
+        <Param val="0.3" valType="code" name="startVal"/>
+        <Param val="2.5" valType="code" name="stopVal"/>
+      </TextComponent>
+      <TextComponent name="rest">
+        <Param val="REST" valType="str" name="text"/>
+        <Param val="2.8" valType="code" name="startVal"/>
+        <Param val="1.0" valType="code" name="stopVal"/>
+      </TextComponent>
+    </Routine>
+  </Routines>
+  <Flow>
+    <LoopInitiator loopType="TrialHandler" name="trials">
+      <Param name="conditionsFile" val="conds.csv" valType="file"/>
+      <Param name="isTrials" val="True" valType="bool"/>
+      <Param name="nReps" val="6" valType="num"/>
+    </LoopInitiator>
+  </Flow>
+</PsychoPy2experiment>
+""")
+    cfg = load_psyexp(tmp_path / "exp.psyexp")
+    assert cfg.beep_seconds == 0.3
+    assert cfg.word_seconds == 2.5
+    assert cfg.cooloff_seconds == 1.0
+    assert cfg.words == ("left", "right")
+    assert cfg.n_reps == 6
