@@ -46,6 +46,7 @@ class InferenceEngine:
         turbo: bool = False,
         donate: bool = False,
         model_kw: Optional[dict] = None,
+        mesh=None,
     ):
         """`model` is a registry family name (`model_kw` forwards config
         overrides, e.g. whiten=True for a whitened logcov checkpoint);
@@ -53,7 +54,10 @@ class InferenceEngine:
         native .npz pytrees.
         `turbo` runs the LSTM recurrence in bfloat16 (~1.9x throughput,
         100% argmax agreement on the shipped trials); it is a no-op for non-recurrent families,
-        which have no serial bottleneck to relax."""
+        which have no serial bottleneck to relax.
+        `mesh`: a jax.sharding.Mesh with a 'dp' axis — the decode batch
+        then shards over it (params replicated; GSPMD partitions the
+        pipeline). Without it the engine serves single-device."""
         import dataclasses as _dc
 
         from neural_speech_decoding_tpu.models.registry import get_model
@@ -91,7 +95,15 @@ class InferenceEngine:
             )
         self.config = config
         self.class_names = tuple(class_names or config.class_names)
-        self.params = jax.device_put(params)
+        self._mesh = mesh
+        self._pad_multiple = 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._pad_multiple = int(mesh.shape["dp"])
+            self.params = jax.device_put(params, NamedSharding(mesh, P()))
+        else:
+            self.params = jax.device_put(params)
 
         filter_cfg: FilterConfig = config.filter
         decoder_cfg: DecoderConfig = config.decoder
@@ -123,7 +135,16 @@ class InferenceEngine:
                 filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
                 return jax.nn.softmax(apply_fn(p, filtered), axis=-1)
 
-        self._pipeline = jax.jit(_pipeline)
+        if mesh is not None:
+            from neural_speech_decoding_tpu.parallel.sharding import (
+                batch_sharding,
+            )
+
+            self._pipeline = jax.jit(
+                _pipeline, in_shardings=(None, batch_sharding(mesh))
+            )
+        else:
+            self._pipeline = jax.jit(_pipeline)
         self._compiled_buckets: Dict[int, bool] = {}
         # guard-counter surface: windows decoded / windows whose covariance
         # spectrum was clamped by the logcov domain guard (always 0 for
@@ -153,10 +174,15 @@ class InferenceEngine:
         with self._stats_lock:
             return dict(self._stats)
 
+    def _bucket_padded(self, b: int) -> int:
+        bb = _bucket(b)
+        m = self._pad_multiple
+        return -(-bb // m) * m
+
     def warmup(self, batch_sizes: Sequence[int] = (1,)) -> None:
         t, c = self.config.window_samples, self.config.num_channels
         for b in batch_sizes:
-            b = _bucket(b)
+            b = self._bucket_padded(b)
             if b in self._compiled_buckets:
                 continue
             dummy = jnp.zeros((b, t, c), jnp.float32)
@@ -170,7 +196,7 @@ class InferenceEngine:
         b = windows_btc.shape[0]
         if b == 0:
             return np.zeros((0, len(self.class_names)), np.float32)
-        bb = _bucket(b)
+        bb = self._bucket_padded(b)
         if bb != b:
             pad = np.zeros((bb - b,) + windows_btc.shape[1:], np.float32)
             windows_btc = np.concatenate([windows_btc, pad], axis=0)

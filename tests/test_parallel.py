@@ -221,3 +221,18 @@ def test_dp_sharded_logcov_train_step_matches_single_device(dataset):
                     jax.tree_util.tree_leaves(sh_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_mesh_sharded_inference_engine(checkpoint_path):
+    """InferenceEngine with a mesh: dp-sharded decode equals the
+    single-device engine (both LSTM .pth and the batch-padding path)."""
+    from neural_speech_decoding_tpu.runtime.engine import InferenceEngine
+
+    base = InferenceEngine(str(checkpoint_path))
+    sharded = InferenceEngine(str(checkpoint_path), mesh=make_mesh(tp=1))
+    rng = np.random.default_rng(5)
+    windows = rng.standard_normal((11, 625, 8)).astype(np.float32)  # odd B
+    np.testing.assert_allclose(
+        sharded.predict_batch(windows), base.predict_batch(windows),
+        rtol=2e-4, atol=2e-5,
+    )
