@@ -22,6 +22,15 @@ if _platform == "cpu":
     jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite's wall-clock is dominated by
+# repeated jit compiles (8-virtual-device SPMD programs recompile per
+# process). The cache cuts warm reruns substantially; it is keyed on
+# program + flags, so correctness is unaffected. Opt out with
+# NSD_TEST_NO_COMPILE_CACHE=1 (e.g. when bisecting compiler issues).
+if not os.environ.get("NSD_TEST_NO_COMPILE_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nsd_jax_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from pathlib import Path  # noqa: E402
 
 import numpy as np  # noqa: E402

@@ -13,6 +13,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from neural_speech_decoding_tpu.models import logcov as lc
 from neural_speech_decoding_tpu.ops.pallas.bandcov import band_grams
@@ -23,6 +24,7 @@ def _fitted(dataset, cfg):
     return lc.fit_whitener(params, dataset.windows[:48], cfg=cfg)["whitener"]
 
 
+@pytest.mark.slow
 def test_gram_kernel_interpret_matches_einsum():
     rng = np.random.default_rng(0)
     slices, start = [], 0
@@ -76,6 +78,7 @@ def test_fused_features_and_flags_match(dataset):
     )
 
 
+@pytest.mark.slow
 def test_fused_gradients_flow(dataset):
     """Training through the fused path: grads wrt head params are finite
     and the whitener buffer stays excluded (stop_gradient)."""
@@ -101,6 +104,7 @@ def test_fused_gradients_flow(dataset):
     assert float(jnp.abs(g["whitener"]).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_fused_kernel_branch_via_interpreter(dataset, monkeypatch):
     """The pallas-kernel branch of the fused path (normally TPU-only)
     runs under the interpreter and matches the einsum branch — catches

@@ -4,6 +4,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration-grade; full suite only
+
 from neural_speech_decoding_tpu.config import DecoderConfig, FilterConfig
 from neural_speech_decoding_tpu.io.checkpoint import load_decoder_params
 from neural_speech_decoding_tpu.models.lstm import decoder_apply

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration-grade; full suite only
+
 REPO_ROOT = Path(__file__).resolve().parents[1]
 
 # (manifest, prob-delta bound). Measured deltas (also in docs/PARITY.md):

@@ -103,6 +103,7 @@ def test_padlen_too_long_raises():
         sosfiltfilt(sos, np.zeros((10, 2)), padlen=10)
 
 
+@pytest.mark.slow
 def test_sosfilt_parallel_matches_scan(noise):
     from neural_speech_decoding_tpu.ops.iir import sosfilt_parallel
 
@@ -112,6 +113,7 @@ def test_sosfilt_parallel_matches_scan(noise):
     np.testing.assert_allclose(ours, ref, rtol=1e-7, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_sosfiltfilt_parallel_matches_scipy(noise):
     from neural_speech_decoding_tpu.ops.iir import sosfiltfilt_parallel
 
@@ -121,6 +123,7 @@ def test_sosfiltfilt_parallel_matches_scipy(noise):
     np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_collector_chain_parallel_matches_scan(noise):
     batch = np.stack([noise, noise * 0.5]).astype(np.float32)
     a = np.asarray(collector_filter_chain_batch(batch, method="scan"))

@@ -261,6 +261,7 @@ def test_lru_scan_matches_sequential(windows, impl):
     np.testing.assert_allclose(h, ref.astype(np.complex64), rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_lru_chunked_matches_associative_full_window(windows):
     """Full reference geometry (T=625 -> chunk 125 x 5): logits from the
     chunked engine match the associative engine, and gradients through the

@@ -66,6 +66,7 @@ def test_tp_sharded_forward_matches_replicated():
     assert "tp" in str(w_ih.sharding.spec)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [1, 2, 4, 8])
 def test_dryrun_multichip_entry(n):
     import __graft_entry__
@@ -82,6 +83,7 @@ def test_graft_entry_forward():
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_sharded_logcov_flagship_matches_single_device(dataset):
     """The accuracy flagship (whitened logcov8, polynomial logm + spectrum
     guard) decodes dp-sharded over the virtual mesh identically to a
@@ -106,6 +108,7 @@ def test_dp_sharded_logcov_flagship_matches_single_device(dataset):
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_mesh_sharded_ensemble_matches_single_device(dataset):
     """EnsembleEngine with a mesh: (a) dp-over-batch with the member axis
     replicated, and (b) members sharded over 'tp' AND batch over 'dp' —
@@ -158,6 +161,7 @@ def test_mesh_sharded_ensemble_matches_single_device(dataset):
         )
 
 
+@pytest.mark.slow
 def test_mesh_sharded_deployed_manifest(dataset):
     """The shipped 5-member deployment manifest serves dp-sharded over the
     virtual mesh with unchanged probabilities."""
@@ -183,6 +187,7 @@ def test_mesh_sharded_deployed_manifest(dataset):
     )
 
 
+@pytest.mark.slow
 def test_dp_sharded_logcov_train_step_matches_single_device(dataset):
     """One whitened-logcov8 training step, dp-sharded vs single-device:
     same loss, same updated params (the guard's Cholesky and the Clenshaw

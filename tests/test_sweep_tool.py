@@ -3,6 +3,8 @@
 import sys
 from pathlib import Path
 
+import pytest
+
 TOOLS = Path(__file__).resolve().parents[1] / "tools"
 if str(TOOLS) not in sys.path:
     sys.path.insert(0, str(TOOLS))
@@ -32,6 +34,7 @@ def test_run_crossval_importable():
         assert param in sig.parameters
 
 
+@pytest.mark.slow
 def test_crossval_ensemble_smoke():
     """Tiny end-to-end crossval of a cross-family ensemble ("a+b" spec):
     summary carries the ensemble and per-member numbers, all in [0, 1]."""

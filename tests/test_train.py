@@ -17,6 +17,7 @@ def tiny_dataset(dataset):
     return dataclasses.replace(sub, windows=sub.windows[:, :96, :])
 
 
+@pytest.mark.slow
 def test_train_overfits_tiny(tiny_dataset):
     cfg = DecoderConfig(num_classes=3, dropout=0.0)
     params, history = train(
@@ -31,6 +32,7 @@ def test_train_overfits_tiny(tiny_dataset):
     assert np.isfinite(history[-1]["val_loss"])
 
 
+@pytest.mark.slow
 def test_train_with_mesh(tiny_dataset):
     from neural_speech_decoding_tpu.parallel.mesh import make_mesh
 
@@ -85,6 +87,7 @@ def test_augment_batch(dataset):
     assert 0 < xa.shape[0] <= 20
 
 
+@pytest.mark.slow
 def test_cosine_schedule_and_early_stop(tiny_dataset):
     cfg = DecoderConfig(num_classes=3, dropout=0.0)
     params, history = train(
@@ -112,6 +115,7 @@ def test_unknown_schedule_rejected(tiny_dataset):
         )
 
 
+@pytest.mark.slow
 def test_remat_and_unroll_training_grads_match(dataset):
     """The remat_chunks / scan_unroll training knobs (the compile-time and
     memory levers for backprop through the 625-step recurrence) change

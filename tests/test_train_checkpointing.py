@@ -4,6 +4,7 @@ import dataclasses
 
 import jax
 import numpy as np
+import pytest
 import optax
 
 from neural_speech_decoding_tpu.config import DecoderConfig
@@ -36,6 +37,7 @@ def test_save_restore_roundtrip(tmp_path):
     assert jax.tree_util.tree_structure(ro) == jax.tree_util.tree_structure(opt_state)
 
 
+@pytest.mark.slow
 def test_train_resume(tmp_path, dataset):
     sub = dataset._take(np.arange(0, len(dataset), 8))
     sub = dataclasses.replace(sub, windows=sub.windows[:, :64, :])
