@@ -175,8 +175,10 @@ def main() -> None:
                     f"{row['windows_per_s']:>10,.0f}",
                     flush=True,
                 )
-    if args.json:
-        Path(args.json).write_text(json.dumps(rows, indent=2))
+                if args.json:
+                    # incremental: a late-family timeout must not lose
+                    # the rows already measured (compiles cost minutes)
+                    Path(args.json).write_text(json.dumps(rows, indent=2))
 
 
 if __name__ == "__main__":
