@@ -76,6 +76,40 @@ def _grams_batched(
     )(y_crb)
 
 
+def _band_grams_xla(y_brc, sl: Tuple[Tuple[int, int], ...]):
+    """Differentiable einsum reference computing the same grams — the
+    custom-VJP backward recomputes through this (pallas_call has no
+    transpose rule; full-window whitened-logcov training needs grads)."""
+    hp = jax.lax.Precision.HIGHEST
+    return jnp.stack(
+        [
+            jnp.einsum(
+                "brc,brd->bcd", y_brc[:, lo:hi], y_brc[:, lo:hi],
+                precision=hp,
+            )
+            for lo, hi in sl
+        ],
+        axis=1,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _band_grams_diff(y_brc, sl, interpret):
+    return _band_grams_impl(y_brc, sl, interpret)
+
+
+def _band_grams_fwd(y_brc, sl, interpret):
+    return _band_grams_diff(y_brc, sl, interpret), y_brc
+
+
+def _band_grams_bwd(sl, interpret, y_brc, ct):
+    _, vjp = jax.vjp(lambda y: _band_grams_xla(y, sl), y_brc)
+    return vjp(ct)
+
+
+_band_grams_diff.defvjp(_band_grams_fwd, _band_grams_bwd)
+
+
 def band_grams(
     y_brc: jnp.ndarray,
     slices: Sequence[slice],
@@ -83,11 +117,20 @@ def band_grams(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """[B, R, C] projected rows -> [B, nb, C, C] per-band gram sums
-    (exactly symmetric; unscaled)."""
-    b, r, c = y_brc.shape
-    nb = len(slices)
-    npairs = c * (c + 1) // 2
+    (exactly symmetric; unscaled). Differentiable: backward recomputes
+    through the einsum reference (`_band_grams_xla`)."""
     sl = tuple((s.start, s.stop) for s in slices)
+    return _band_grams_diff(y_brc, sl, interpret)
+
+
+def _band_grams_impl(
+    y_brc: jnp.ndarray,
+    sl: Tuple[Tuple[int, int], ...],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, r, c = y_brc.shape
+    nb = len(sl)
+    npairs = c * (c + 1) // 2
 
     m_pad = ((b + _LANES - 1) // _LANES) * _LANES
     y = jnp.moveaxis(y_brc, 0, -1)  # [R, C, B] -> want [C, R, B]

@@ -94,12 +94,63 @@ def _clenshaw_batched(
     )(coeffs, t_64m)
 
 
+def _logm_clenshaw_xla(s, coeffs_tuple, lo: float, hi: float):
+    """Differentiable XLA Clenshaw evaluating the SAME polynomial as the
+    kernel — the custom-VJP backward recomputes through this, so grads of
+    the served function are exact (it is the polynomial that is served,
+    not the true logm). Mirrors models/logcov._logm_spd_chebyshev."""
+    c = s.shape[-1]
+    coeffs = jnp.asarray(coeffs_tuple, dtype=s.dtype)
+    eye = jnp.eye(c, dtype=s.dtype)
+    trace = jnp.trace(s, axis1=-2, axis2=-1)[..., None, None] / c
+    a = s / trace
+    t = (2.0 * a - (hi + lo) * eye) / (hi - lo)
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+    def step(carry, ck):
+        b1, b2 = carry
+        return (ck * eye + 2.0 * mm(t, b1) - b2, b1), None
+
+    zero = jnp.zeros_like(t)
+    (b1, b2), _ = jax.lax.scan(step, (zero, zero), coeffs[1:][::-1])
+    return coeffs[0] * eye + mm(t, b1) - b2 + jnp.log(trace) * eye
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _logm_pallas_diff(s, coeffs_tuple, lo, hi, interpret):
+    return _logm_pallas_impl(s, coeffs_tuple, lo, hi, interpret=interpret)
+
+
+def _logm_pallas_fwd(s, coeffs_tuple, lo, hi, interpret):
+    return _logm_pallas_diff(s, coeffs_tuple, lo, hi, interpret), s
+
+
+def _logm_pallas_bwd(coeffs_tuple, lo, hi, interpret, s, ct):
+    # pallas_call has no transpose rule; recompute the VJP through the
+    # XLA scan (identical polynomial) — training batches are small, and
+    # the forward stays on the fast kernel
+    _, vjp = jax.vjp(lambda x: _logm_clenshaw_xla(x, coeffs_tuple, lo, hi), s)
+    return vjp(ct)
+
+
+_logm_pallas_diff.defvjp(_logm_pallas_fwd, _logm_pallas_bwd)
+
+
 def logm_spd_chebyshev_pallas(
     s: jnp.ndarray, coeffs_tuple, lo: float, hi: float,
     *, interpret: bool = False,
 ) -> jnp.ndarray:
     """logm of [..., C, C] SPD matrices (trace-normalized Chebyshev fit of
-    log on [lo, hi]); same contract as the XLA scan in models/logcov.py."""
+    log on [lo, hi]); same contract as the XLA scan in models/logcov.py.
+    Differentiable: the backward pass recomputes through the XLA Clenshaw
+    (`_logm_clenshaw_xla`), so full-window logcov training works on TPU."""
+    return _logm_pallas_diff(s, tuple(coeffs_tuple), lo, hi, interpret)
+
+
+def _logm_pallas_impl(
+    s: jnp.ndarray, coeffs_tuple, lo: float, hi: float,
+    *, interpret: bool = False,
+) -> jnp.ndarray:
     *batch, c, _ = s.shape
     s2 = s.reshape(-1, c, c).astype(jnp.float32)
     m = s2.shape[0]

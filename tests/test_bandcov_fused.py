@@ -125,3 +125,39 @@ def test_fused_kernel_branch_via_interpreter(dataset, monkeypatch):
     )(w_stack)
     assert np.isfinite(np.asarray(vm)).all()
     np.testing.assert_allclose(np.asarray(vm)[0], got, rtol=2e-4, atol=2e-5)
+
+
+def test_band_grams_gradient_matches_einsum():
+    """band_grams has a custom VJP (backward recomputes via the einsum
+    reference) — whitened full-window logcov training on TPU
+    differentiates through it."""
+    rng = np.random.default_rng(5)
+    slices, start = [], 0
+    for bins in (10, 12, 15):
+        slices.append(slice(start, start + 2 * bins))
+        start += 2 * bins
+    y = jnp.asarray(rng.standard_normal((9, start, 8)).astype(np.float32))
+    ct = jnp.asarray(
+        rng.standard_normal((9, len(slices), 8, 8)).astype(np.float32)
+    )
+
+    def loss_kernel(v):
+        return jnp.sum(band_grams(v, slices, interpret=True) * ct)
+
+    def loss_ref(v):
+        ref = jnp.stack(
+            [
+                jnp.einsum(
+                    "brc,brd->bcd", v[:, sl], v[:, sl],
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                for sl in slices
+            ],
+            axis=1,
+        )
+        return jnp.sum(ref * ct)
+
+    g_kernel = np.asarray(jax.grad(loss_kernel)(y))
+    g_ref = np.asarray(jax.grad(loss_ref)(y))
+    scale = max(np.abs(g_ref).max(), 1.0)
+    np.testing.assert_allclose(g_kernel, g_ref, atol=2e-5 * scale)

@@ -78,3 +78,44 @@ def test_batch_shape_roundtrip():
     )
     assert out.shape == (3, 4, 8, 8)
     np.testing.assert_allclose(out, np.swapaxes(out, -1, -2), atol=1e-4)
+
+
+def test_kernel_gradient_matches_xla_clenshaw():
+    """The kernel has a custom VJP (pallas_call has no transpose rule):
+    backward recomputes through the XLA Clenshaw evaluating the SAME
+    polynomial, so grads must match the differentiable scan's — this is
+    what full-window logcov training on TPU differentiates through."""
+    from neural_speech_decoding_tpu.models.logcov import (
+        LogCovConfig,
+        _logm_spd_chebyshev,
+    )
+
+    cfg = LogCovConfig()
+    lo, hi = cfg.cheb_interval
+    coeffs = _cheb_log_coeffs(lo, hi, 64)
+    a, _ = _random_spd(6, 0.1, 7.0, seed=3)
+    s = jnp.asarray(a)
+    ct = jnp.asarray(
+        np.random.default_rng(4).standard_normal((6, 8, 8)).astype(np.float32)
+    )
+
+    def loss_kernel(x):
+        return jnp.sum(
+            logm_spd_chebyshev_pallas(x, coeffs, lo, hi, interpret=True) * ct
+        )
+
+    scan_cfg = dataclasses_replace_degree(cfg, 64)
+
+    def loss_scan(x):
+        return jnp.sum(_logm_spd_chebyshev(x, scan_cfg) * ct)
+
+    g_kernel = np.asarray(jax.grad(loss_kernel)(s))
+    g_scan = np.asarray(jax.grad(loss_scan)(s))
+    scale = max(np.abs(g_scan).max(), 1.0)
+    np.testing.assert_allclose(g_kernel, g_scan, atol=1e-4 * scale)
+
+
+def dataclasses_replace_degree(cfg, degree):
+    import dataclasses
+
+    return dataclasses.replace(cfg, cheb_degree=degree)
