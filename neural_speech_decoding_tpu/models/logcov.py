@@ -96,6 +96,18 @@ class LogCovConfig:
     # default; turning it off restores the unguarded round-2 behavior
     # (useful only for kernel microbenchmarks).
     guard_domain: bool = True
+    # whitened-serving fusion level. "stages": the round-3 pipeline
+    # (Pallas band grams -> XLA shrinkage/guard -> Pallas Clenshaw), whose
+    # [B, nb, 8, 8] intermediates are 16x-padded in TPU HBM tiling —
+    # profiling shows ~35 ms of degree-independent layout overhead at
+    # B=16384 (checkpoints/profile_logcov_r3.log: degree 128 -> 40.6 ms,
+    # degree 320 -> 49.6 ms). "kernel": one fused Pallas kernel
+    # (ops/pallas/logmfeats.py) keeps the gram pair-rows layout end to
+    # end — shrinkage, spectrum guard, Clenshaw logm, and triu feature
+    # extraction all in VMEM, no padded [.., 8, 8] arrays anywhere.
+    # Applies only to whitened matmul-spectral serving with guard_domain
+    # on (the flagship path); falls back to "stages" otherwise.
+    fused: str = "stages"
 
     def __post_init__(self):
         if self.logm != "eigh" and self.shrinkage < self.cheb_interval[0]:
@@ -388,6 +400,116 @@ def _whitened_band_covariances_fused(
     ) * wwt[None]
 
 
+def _fused_kernel_forward(x_btc, w0, cfg: LogCovConfig, interpret: bool):
+    """Whitened logcov features + guard flags via the single fused Pallas
+    kernel (ops/pallas/logmfeats.py): band-gram pair rows stay lane-major
+    from the gram kernel through shrinkage, spectrum guard, Clenshaw logm
+    and triu extraction — no 16x-padded [B, nb, 8, 8] intermediates."""
+    from neural_speech_decoding_tpu.ops.pallas.bandcov import (
+        _LANES as _BC_LANES,
+        _grams_batched,
+    )
+    from neural_speech_decoding_tpu.ops.pallas.logmfeats import (
+        _LANES as _LF_LANES,
+        fused_whitened_logcov_feature_rows,
+    )
+
+    t = x_btc.shape[1]
+    c = cfg.num_channels
+    x = x_btc - jnp.mean(x_btc, axis=1, keepdims=True)
+    proj, slices = _band_projector(t, cfg)
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("rt,btc->brc", jnp.asarray(proj), x, precision=hp)
+    band_idx = _np.concatenate(
+        [_np.full(sl.stop - sl.start, k) for k, sl in enumerate(slices)]
+    )
+    w_rows = w0[jnp.asarray(band_idx)]  # [R, C, C]
+    yw = jnp.einsum("brc,rdc->brd", y, w_rows, precision=hp)
+
+    b, r = yw.shape[0], yw.shape[1]
+    lanes = max(_BC_LANES, _LF_LANES)
+    m_pad = ((b + lanes - 1) // lanes) * lanes
+    y_crb = jnp.swapaxes(jnp.moveaxis(yw, 0, -1), 0, 1)  # [C, R, B]
+    if m_pad != b:
+        y_crb = jnp.concatenate(
+            [y_crb, jnp.zeros((c, r, m_pad - b), y_crb.dtype)], axis=-1
+        )
+    sl = tuple((s.start, s.stop) for s in slices)
+    g_rows = _grams_batched(y_crb, sl, c, interpret=interpret)  # [nb*P, M]
+
+    scale = 2.0 / (t * t)
+    sq = jnp.sum(y * y, axis=-1)  # [B, R] — unmixed rows carry tr G
+    tr_bands = jnp.stack(
+        [jnp.sum(sq[:, s.start : s.stop], axis=1) for s in slices], axis=0
+    )  # [nb, B]
+    tr_scaled = tr_bands * scale
+    if m_pad != b:
+        tr_scaled = jnp.concatenate(
+            [
+                tr_scaled,
+                jnp.zeros((len(slices), m_pad - b), tr_scaled.dtype),
+            ],
+            axis=1,
+        )
+
+    iu, ju = jnp.triu_indices(c)
+    wwt = jnp.einsum("nij,nkj->nik", w0, w0, precision=hp)
+    wwt_pairs = wwt[:, iu, ju]  # [nb, P]
+
+    lo, hi = cfg.cheb_interval
+    feats_rows, flag_rows = fused_whitened_logcov_feature_rows(
+        g_rows,
+        tr_scaled,
+        wwt_pairs,
+        _cheb_log_coeffs(lo, hi, cfg.cheb_degree),
+        c=c,
+        scale=scale,
+        alpha=cfg.shrinkage,
+        lo=lo,
+        hi=hi,
+        guard_g=_guard_strength(cfg),
+        interpret=interpret,
+    )
+    feats = feats_rows[:, :b].T  # [B, nb*P] — row k*P+p == triu order
+    flags = jnp.any(flag_rows[:, :b], axis=0)
+    return feats, flags
+
+
+def _stages_feats_reference(x_btc, w0, cfg: LogCovConfig):
+    """The differentiable stages path computing the same features —
+    custom-VJP backward of the fused kernel recomputes through this."""
+    s = _whitened_band_covariances_fused(x_btc, cfg, w0)
+    s, _ = guard_spectrum(s, cfg)
+    logm = _logm_spd_chebyshev(s, cfg)
+    c = cfg.num_channels
+    iu, ju = jnp.triu_indices(c)
+    weights = jnp.where(iu == ju, 1.0, jnp.sqrt(2.0)).astype(jnp.float32)
+    feats = logm[..., iu, ju] * weights
+    return feats.reshape(feats.shape[0], -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused_kernel_feats(x_btc, w0, cfg, interpret):
+    return _fused_kernel_forward(x_btc, w0, cfg, interpret)
+
+
+def _fused_kernel_feats_fwd(x_btc, w0, cfg, interpret):
+    return _fused_kernel_feats(x_btc, w0, cfg, interpret), (x_btc, w0)
+
+
+def _fused_kernel_feats_bwd(cfg, interpret, res, ct):
+    x_btc, w0 = res
+    ct_feats, _ = ct  # flags are boolean — no cotangent
+    _, vjp = jax.vjp(lambda x: _stages_feats_reference(x, w0, cfg), x_btc)
+    (dx,) = vjp(ct_feats)
+    # the whitener is a fitted buffer, not a weight (stop_gradient in the
+    # stages path) — zero cotangent keeps the same semantics
+    return dx, jnp.zeros_like(w0)
+
+
+_fused_kernel_feats.defvjp(_fused_kernel_feats_fwd, _fused_kernel_feats_bwd)
+
+
 def logcov_features(
     x_btc: jnp.ndarray,
     cfg: LogCovConfig,
@@ -403,6 +525,21 @@ def logcov_features(
     reference: Minds_AI_Filter_Real-time_Signal_Analysis.py:141-162)."""
     if whitener is not None and cfg.spectral == "matmul":
         w0 = jax.lax.stop_gradient(whitener)  # fixed buffer, not a weight
+        import os
+
+        fused_interp = os.environ.get("NSD_FUSED_INTERPRET") == "1"
+        if (
+            cfg.fused == "kernel"
+            and cfg.logm == "chebyshev"
+            and cfg.guard_domain
+            and (jax.default_backend() == "tpu" or fused_interp)
+        ):
+            feats, flags = _fused_kernel_feats(
+                x_btc.astype(jnp.float32), w0, cfg, fused_interp
+            )
+            if with_flags:
+                return feats, flags
+            return feats
         s = _whitened_band_covariances_fused(
             x_btc.astype(jnp.float32), cfg, w0
         )

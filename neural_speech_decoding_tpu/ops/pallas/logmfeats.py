@@ -1,0 +1,290 @@
+"""Pallas TPU kernel: fused whitened-logcov feature extractor.
+
+Round-3 profiling (checkpoints/profile_logcov_r3.log) showed the Pallas
+Clenshaw logm at 40.6 ms (degree 128) vs 49.6 ms (degree 320) at B=16384
+— ~35 ms of DEGREE-INDEPENDENT overhead around a ~15 ms recurrence. The
+overhead is layout, not math: every [B, nb, 8, 8] intermediate on TPU is
+tiled (8, 128) on its minor dims, so the 8-wide matrices are padded 16x
+in HBM — the gram scatter, shrinkage, symmetrize, spectrum guard,
+moveaxis into the kernel, and moveaxis out each move ~0.5 GB of physical
+HBM to touch 34 MB of data.
+
+This kernel keeps the band-gram pair-rows layout [nb*P, M] (P = C(C+1)/2
+pairs on sublanes, batch on lanes — exactly what ops/pallas/bandcov.py's
+inner kernel produces) end to end and fuses, per band, inside one VMEM
+block:
+
+  1. shrinkage combine  s = (1-a)*(2/T^2)*gram + a*(tr G/C + eps)*W W^T
+  2. spectrum guard     Sylvester PD test of s/tr - lo*I, shrink-where-bad
+                        (bit-identical pass-through for in-domain windows)
+  3. trace-normalized Chebyshev-Clenshaw matrix log (same recurrence as
+     ops/pallas/logm.py: one (C, C, LANES) tensor, 512-lane FMAs)
+  4. log(tr/C) diagonal correction + sqrt(2)-weighted triu extraction
+
+One HBM read of the grams and one write of the [nb*P, M] feature rows —
+no padded [.., 8, 8] arrays exist anywhere on the path. The only
+remaining layout op is the final [nb*P, B] -> [B, nb*P] transpose of a
+well-tiled feature matrix.
+
+Differentiable via custom VJP: backward recomputes through the XLA
+stages path (models/logcov: _whitened_band_covariances_fused ->
+guard_spectrum -> _logm_spd_chebyshev -> triu), which evaluates the same
+polynomial.
+
+Reference anchor: this accelerates the serving front-end of the logcov
+family that replaces the reference's per-window CPU pipeline
+(Neuro-Alpha-App/Utilities/lstm_eeg_model.py:86-101).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 512
+
+
+def _pair_index(c: int):
+    """(i, j) -> pair row p in bandcov/triu order (i <= j)."""
+    idx, p = {}, 0
+    for i in range(c):
+        for j in range(i, c):
+            idx[(i, j)] = p
+            p += 1
+    return idx
+
+
+def _fused_kernel(
+    c: int,
+    nb: int,
+    degree: int,
+    scale: float,
+    alpha: float,
+    lo: float,
+    hi: float,
+    guard_g: float | None,
+):
+    """Kernel body. Blocks: grams [nb*P, L], traces [nb, L] (already
+    scaled by 2/T^2), wwt [nb*P, L] (lane-broadcast constant rows);
+    outputs feats [nb*P, L], flags [nb, L]."""
+    npairs = c * (c + 1) // 2
+    pidx = _pair_index(c)
+    diag_rows = [pidx[(i, i)] for i in range(c)]
+    sqrt2 = float(np.sqrt(2.0))
+
+    def kernel(coeffs_ref, g_ref, tr_ref, wwt_ref, feats_ref, flags_ref):
+        for k in range(nb):
+            r0 = k * npairs
+            g = g_ref[r0 : r0 + npairs]  # [P, L] unscaled gram pairs
+            wwt = wwt_ref[r0 : r0 + npairs]  # [P, L] W W^T pairs
+            trg = tr_ref[k : k + 1]  # [1, L] tr(G) * 2/T^2
+            # 1. shrinkage combine (same op order as the XLA reference:
+            #    grams scaled by 2/T^2 first, then the convex mix)
+            s = (1.0 - alpha) * (g * scale) + alpha * (
+                trg / c + 1e-12
+            ) * wwt
+
+            def row(i, j):
+                p = pidx[(min(i, j), max(i, j))]
+                return s[p : p + 1]  # [1, L]
+
+            trace = row(0, 0)
+            for i in range(1, c):
+                trace = trace + row(i, i)
+
+            # 2. spectrum guard (Sylvester PD test of s/tr_df - lo*I;
+            #    mirrors models/logcov.domain_flags + guard_spectrum)
+            if guard_g is not None:
+                tr_df = jnp.maximum(trace, 1e-30) / c
+
+                def a_entry(i, j):
+                    v = row(i, j) / tr_df
+                    return v - lo if i == j else v
+
+                low = {}
+                ok = None
+                for j in range(c):
+                    d = a_entry(j, j)
+                    for kk in range(j):
+                        d = d - low[(j, kk)] * low[(j, kk)]
+                    ok = (d > 0) if ok is None else ok & (d > 0)
+                    ljj = jnp.sqrt(jnp.maximum(d, 1e-30))
+                    for i in range(j + 1, c):
+                        t_ij = a_entry(i, j)
+                        for kk in range(j):
+                            t_ij = t_ij - low[(i, kk)] * low[(j, kk)]
+                        low[(i, j)] = t_ij / ljj
+                bad = ~ok  # [1, L]
+                tr_gs = trace / c
+                badf = bad.astype(s.dtype)
+                shrink_diag = guard_g * (tr_gs + 1e-12)  # [1, L]
+                # shrunk = (1-g)*s + g*(tr/c + eps)*eye, selected per lane
+                s_off = (1.0 - guard_g) * s
+                sel = badf  # 1 where shrunk, 0 where original
+                rows_new = []
+                for i in range(c):
+                    for j in range(i, c):
+                        p = pidx[(i, j)]
+                        shr = s_off[p : p + 1] + (
+                            shrink_diag if i == j else 0.0
+                        )
+                        rows_new.append(
+                            sel * shr + (1.0 - sel) * s[p : p + 1]
+                        )
+                s = jnp.concatenate(rows_new, axis=0)
+                flags_ref[k : k + 1] = badf
+                trace = row(0, 0)
+                for i in range(1, c):
+                    trace = trace + row(i, i)
+            else:
+                flags_ref[k : k + 1] = tr_ref[k : k + 1] * 0.0
+
+            # 3. trace-normalized Clenshaw (ops/pallas/logm.py recurrence)
+            tr2 = trace / c  # [1, L]
+            inv_tr = 1.0 / tr2
+            t_rows = []
+            for i in range(c):
+                for j in range(c):
+                    a_ij = row(i, j) * inv_tr
+                    if i == j:
+                        t_rows.append(
+                            (2.0 * a_ij - (hi + lo)) / (hi - lo)
+                        )
+                    else:
+                        t_rows.append(2.0 * a_ij / (hi - lo))
+            t = jnp.concatenate(t_rows, axis=0).reshape(c, c, -1)
+
+            rowi = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+            coli = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            eye = (rowi == coli).astype(t.dtype)
+
+            def matmul(a, b):
+                acc = a[:, 0:1, :] * b[0:1, :, :]
+                for j in range(1, c):
+                    acc = acc + a[:, j : j + 1, :] * b[j : j + 1, :, :]
+                return acc
+
+            def step(i, carry):
+                b1, b2 = carry
+                ck = coeffs_ref[degree - i]
+                return (ck * eye + 2.0 * matmul(t, b1) - b2, b1)
+
+            zero = t * 0.0  # shares t's vector layout (Mosaic backedge)
+            b1, b2 = jax.lax.fori_loop(0, degree, step, (zero, zero * 1.0))
+            out = coeffs_ref[0] * eye + matmul(t, b1) - b2  # [c, c, L]
+
+            # 4. diag correction + weighted triu rows
+            logtr = jnp.log(tr2)  # [1, L]
+            feats_rows = []
+            for i in range(c):
+                for j in range(i, c):
+                    v = out[i : i + 1, j, :]  # [1, L]
+                    if i == j:
+                        v = v + logtr
+                    else:
+                        v = v * sqrt2
+                    feats_rows.append(v)
+            feats_ref[r0 : r0 + npairs] = jnp.concatenate(
+                feats_rows, axis=0
+            )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "c", "nb", "degree", "scale", "alpha", "lo", "hi", "guard_g",
+        "interpret",
+    ),
+)
+def _fused_batched(
+    g_rows: jnp.ndarray,
+    tr_rows: jnp.ndarray,
+    wwt_rows: jnp.ndarray,
+    coeffs: jnp.ndarray,
+    *,
+    c: int,
+    nb: int,
+    degree: int,
+    scale: float,
+    alpha: float,
+    lo: float,
+    hi: float,
+    guard_g: float | None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    rows, m = g_rows.shape
+    return pl.pallas_call(
+        _fused_kernel(c, nb, degree, scale, alpha, lo, hi, guard_g),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, m), g_rows.dtype),
+            jax.ShapeDtypeStruct((nb, m), g_rows.dtype),
+        ),
+        grid=(m // _LANES,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # coeffs
+            pl.BlockSpec((rows, _LANES), lambda i: (0, i)),
+            pl.BlockSpec((nb, _LANES), lambda i: (0, i)),
+            pl.BlockSpec((rows, _LANES), lambda i: (0, 0)),  # wwt const
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, _LANES), lambda i: (0, i)),
+            pl.BlockSpec((nb, _LANES), lambda i: (0, i)),
+        ),
+        interpret=interpret,
+    )(coeffs, g_rows, tr_rows, wwt_rows)
+
+
+def fused_whitened_logcov_feature_rows(
+    g_rows: jnp.ndarray,
+    tr_scaled: jnp.ndarray,
+    wwt_pairs: jnp.ndarray,
+    coeffs_tuple,
+    *,
+    c: int,
+    scale: float,
+    alpha: float,
+    lo: float,
+    hi: float,
+    guard_g: float | None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused feature extraction from band-gram pair rows.
+
+    g_rows     [nb*P, B] unscaled gram pairs (bandcov kernel layout)
+    tr_scaled  [nb, B]   per-band tr(G) * 2/T^2 (unwhitened trace)
+    wwt_pairs  [nb, P]   triu pairs of W_k W_k^T per band
+    Returns (feats_rows [nb*P, B] weighted-triu logm entries,
+             flags [nb, B] bool out-of-domain per band).
+    """
+    rows, b = g_rows.shape
+    nb = tr_scaled.shape[0]
+    npairs = c * (c + 1) // 2
+    assert rows == nb * npairs
+
+    m_pad = ((b + _LANES - 1) // _LANES) * _LANES
+    if m_pad != b:
+        g_rows = jnp.concatenate(
+            [g_rows, jnp.zeros((rows, m_pad - b), g_rows.dtype)], axis=1
+        )
+        # pad traces with 1 so the padding lanes stay finite in-domain
+        tr_scaled = jnp.concatenate(
+            [tr_scaled, jnp.ones((nb, m_pad - b), tr_scaled.dtype)], axis=1
+        )
+    wwt_rows = jnp.broadcast_to(
+        wwt_pairs.reshape(rows, 1), (rows, _LANES)
+    ).astype(g_rows.dtype)
+    coeffs = jnp.asarray(coeffs_tuple, dtype=jnp.float32)
+    feats, flags = _fused_batched(
+        g_rows, tr_scaled, wwt_rows, coeffs,
+        c=c, nb=nb, degree=len(coeffs_tuple) - 1, scale=scale, alpha=alpha,
+        lo=lo, hi=hi, guard_g=guard_g, interpret=interpret,
+    )
+    return feats[:, :b], flags[:, :b] > 0.5
