@@ -54,6 +54,11 @@ class ModelSpec:
     # each step.
     featurize: "Callable[[Any, Any], Any] | None" = None
     head_apply: "Callable[..., Any] | None" = None
+    # featurize + aux flags: featurize_ex(params, x) -> (feats, flags [B]
+    # bool). Lets ensemble serving extract features ONCE when every
+    # member's feature extractor is identical (same/no whitener buffer)
+    # and vmap only the tiny heads (runtime/ensemble.py share_features).
+    featurize_ex: "Callable[[Any, Any], Any] | None" = None
 
 
 def _lstm_spec(name: str, num_classes: int, class_names, **cfg_kw) -> "ModelSpec":
@@ -146,6 +151,9 @@ def _logcov_spec(name: str, num_classes: int, class_names, **cfg_kw) -> "ModelSp
         ),
         head_apply=lambda p, f, *, train=False, rng=None: _logcov.logcov_head_apply(
             p, f, cfg, train=train, rng=rng
+        ),
+        featurize_ex=lambda p, x: _logcov.logcov_features(
+            x, cfg, whitener=p.get("whitener"), with_flags=True
         ),
     )
 

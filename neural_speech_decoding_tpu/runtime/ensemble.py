@@ -78,6 +78,7 @@ class EnsembleEngine:
         model_kw: Optional[dict] = None,
         mesh=None,
         shard_members: bool = False,
+        share_features: str = "auto",
     ):
         """`mesh`: a jax.sharding.Mesh with 'dp' (and optionally 'tp')
         axes — the serving pass then shards the window batch over 'dp'
@@ -87,7 +88,18 @@ class EnsembleEngine:
         sharded over 'tp' (requires num_members % tp == 0), so the K
         decoder evaluations spread over devices and the mean-softmax
         reduction becomes one ICI collective. Without a mesh the whole
-        ensemble runs on the default device (single-chip serving)."""
+        ensemble runs on the default device (single-chip serving).
+
+        `share_features="auto"` (default): when the family exposes a
+        parameter-free feature extractor (ModelSpec.featurize_ex) and
+        every member carries the SAME non-trainable whitener buffer (or
+        none) — true for seed ensembles, whose fit_whitener is
+        deterministic on the shared training data — features are
+        extracted ONCE and only the tiny heads are vmapped over members,
+        instead of K full band-covariance + Clenshaw-logm passes.
+        Identical probabilities and flags by construction (equality
+        test: tests/test_ensemble.py). "never" forces the per-member
+        pipeline."""
         from neural_speech_decoding_tpu.models.registry import get_model
 
         if params_list is None:
@@ -139,12 +151,47 @@ class EnsembleEngine:
                 decoder_cfg, recurrence_dtype="bfloat16"
             )
         self._has_aux = (not model.startswith("lstm")) and spec.apply_ex is not None
+        # shared featurization: valid when every member's feature
+        # extractor is the same function of the input — i.e. the only
+        # featurize-relevant pytree leaf (the fitted whitener buffer) is
+        # identical across members, or absent everywhere
+        self._shared_featurize = False
+        if (
+            share_features == "auto"
+            and self._has_aux
+            and spec.featurize_ex is not None
+            and spec.head_apply is not None
+            and self.num_members > 1
+            and all(isinstance(p, dict) for p in params_list)
+        ):
+            ws = [p.get("whitener") for p in params_list]
+            if all(w is None for w in ws):
+                self._shared_featurize = True
+            elif all(w is not None for w in ws):
+                w0 = np.asarray(ws[0])
+                self._shared_featurize = all(
+                    np.array_equal(np.asarray(w), w0) for w in ws[1:]
+                )
         if model.startswith("lstm"):
             apply_fn = lambda p, x: decoder_apply(p, x, decoder_cfg, train=False)  # noqa: E731
         else:
             apply_fn = lambda p, x: spec.apply(p, x, train=False)  # noqa: E731
 
-        if self._has_aux:
+        if self._has_aux and self._shared_featurize:
+
+            def _pipeline(stacked, windows_btc: jnp.ndarray):
+                filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
+                # identical whiteners -> identical features and flags for
+                # every member: extract once, vmap only the heads
+                p0 = jax.tree_util.tree_map(lambda leaf: leaf[0], stacked)
+                feats, flags = spec.featurize_ex(p0, filtered)
+                logits = jax.vmap(
+                    lambda p: spec.head_apply(p, feats, train=False)
+                )(stacked)
+                probs = jnp.mean(jax.nn.softmax(logits, axis=-1), axis=0)
+                return probs, flags
+
+        elif self._has_aux:
 
             def _pipeline(stacked, windows_btc: jnp.ndarray):
                 filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)

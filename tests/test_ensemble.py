@@ -125,3 +125,69 @@ def test_from_manifest_model_kw_roundtrip(tmp_path, dataset):
         EnsembleEngine.from_manifest(str(bad)).predict_batch(
             dataset.windows[:2]
         )
+
+
+@pytest.fixture(scope="module")
+def logcov_member_paths(tmp_path_factory):
+    """Whitened logcov seed-ensemble members: different head inits, ONE
+    deterministically fitted whitener (the seed-ensemble recipe)."""
+    import jax.numpy as jnp
+
+    from neural_speech_decoding_tpu.io import load_trials
+
+    tmp = tmp_path_factory.mktemp("logcov_ens")
+    spec = get_model("logcov8", whiten=True, dropout=0.0)
+    x_fit = jnp.asarray(load_trials().windows[:48])
+    paths = []
+    for s in range(3):
+        params = spec.fit(spec.init(jax.random.PRNGKey(s)), x_fit)
+        p = tmp / f"member{s}.npz"
+        save_params_npz(p, params)
+        paths.append(str(p))
+    return paths
+
+
+def test_shared_featurization_matches_per_member(logcov_member_paths, dataset):
+    """share_features='auto' detects the identical whitener buffers and
+    extracts features once; probabilities and guard flags must equal the
+    per-member pipeline's."""
+    kw = dict(model="logcov8", model_kw={"whiten": True, "dropout": 0.0})
+    shared = EnsembleEngine(logcov_member_paths, **kw)
+    per_member = EnsembleEngine(
+        logcov_member_paths, share_features="never", **kw
+    )
+    assert shared._shared_featurize
+    assert not per_member._shared_featurize
+
+    x = np.array(dataset.windows[50:58], np.float32)
+    x[1, :, 2] *= 1e6  # guard-firing fault: flags must survive the share
+    p_shared = shared.predict_batch(x)
+    p_member = per_member.predict_batch(x)
+    np.testing.assert_allclose(p_shared, p_member, atol=1e-6)
+    assert shared.stats["guard_flagged"] == per_member.stats["guard_flagged"]
+    assert shared.stats["guard_flagged"] >= 1
+
+
+def test_shared_featurization_requires_identical_whiteners(
+    logcov_member_paths, tmp_path, dataset
+):
+    """A member with a DIFFERENT whitener must disable sharing."""
+    import jax.numpy as jnp
+
+    from neural_speech_decoding_tpu.io import load_trials
+    from neural_speech_decoding_tpu.io.params_io import load_params_npz
+
+    spec = get_model("logcov8", whiten=True, dropout=0.0)
+    other = spec.fit(
+        spec.init(jax.random.PRNGKey(9)),
+        jnp.asarray(load_trials().windows[60:108]),
+    )
+    p = tmp_path / "other.npz"
+    save_params_npz(p, other)
+    paths = list(logcov_member_paths[:2]) + [str(p)]
+    ens = EnsembleEngine(
+        paths, model="logcov8", model_kw={"whiten": True, "dropout": 0.0}
+    )
+    assert not ens._shared_featurize
+    probs = ens.predict_batch(dataset.windows[:4])
+    assert probs.shape == (4, 3)

@@ -77,6 +77,21 @@ def main() -> None:
     fcfg = FilterConfig(precision="fast")
     preprocessed = np.asarray(mai_filter_batch(ds.windows, fcfg))
 
+    # data-dependent init (logcov tangent-point whitener): fit ONCE on the
+    # full clean filtered dataset and share it across members — crossval's
+    # ensemble members share the fold's whitener the same way
+    # (tools/crossval.py:229-231, "the whitener is a fold property"), so
+    # the shared buffer is what the CV estimate describes; it also lets
+    # EnsembleEngine extract features once and vmap only the heads
+    # (share_features="auto"). Per-member init otherwise differs normally.
+    import jax
+
+    shared_fit = None
+    if spec.fit is not None:
+        shared_fit = lambda p: spec.fit(  # noqa: E731
+            p, preprocessed, ds.labels.astype(np.int32)
+        )
+
     members = []
     for s in range(args.seeds):
         # same member-seed derivation as crossval's ensemble (fold 0 slot)
@@ -90,9 +105,15 @@ def main() -> None:
             val_fraction=0.05, keep_best=False,
         )
         print(f"[member {s + 1}/{args.seeds}] seed={member_seed}", flush=True)
+        init_params = None
+        if shared_fit is not None:
+            rng = jax.random.PRNGKey(member_seed)
+            _, k = jax.random.split(rng)  # train()'s init-key derivation
+            init_params = shared_fit(spec.init(k))
         params, history = train(
             ds, train_cfg=train_cfg, model=args.model, model_kw=model_kw,
             preprocessed=preprocessed, verbose=False,
+            init_params=init_params,
         )
         out = f"{args.out_prefix}_s{s}.npz"
         save_params_npz(out, params)
