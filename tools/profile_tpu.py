@@ -243,6 +243,45 @@ def main_logcov():
         )
         print(f"  degree {d:3d}: max|logm err| {np.abs(got - exact).max():.2e}")
 
+    # end-to-end whitened features: round-3 stages pipeline (Pallas grams
+    # -> padded [B, nb, 8, 8] shrinkage/guard in XLA -> Pallas Clenshaw)
+    # vs the round-4 fused lane-major kernel (ops/pallas/logmfeats.py,
+    # everything in gram pair-rows layout)
+    import os as _os
+
+    if interp:
+        _os.environ["NSD_FUSED_INTERPRET"] = "1"
+    for fused in ("stages", "kernel"):
+        c2 = dataclasses.replace(cfg, fused=fused)
+        fn = jax.jit(
+            lambda w, c2=c2: jnp.sum(lc.logcov_features(w, c2, whitener))
+        )
+        try:
+            t = bench(fn, batch)
+            print(
+                f"  features[{fused:6s}] : {t * 1e3:8.2f} ms "
+                f"({b / t:10.0f} w/s)"
+            )
+        except Exception as e:
+            print(f"  features[{fused}]: FAIL {str(e)[:120]}")
+    try:
+        sub = batch[:2048]
+        f_st = np.asarray(jax.jit(
+            lambda w: lc.logcov_features(
+                w, dataclasses.replace(cfg, fused="stages"), whitener)
+        )(sub))
+        f_kn = np.asarray(jax.jit(
+            lambda w: lc.logcov_features(
+                w, dataclasses.replace(cfg, fused="kernel"), whitener)
+        )(sub))
+        print(
+            "  features fused-vs-stages max delta: "
+            f"{np.abs(f_st - f_kn).max():.2e} "
+            f"(scale {np.abs(f_st).max():.1f})"
+        )
+    except Exception as e:
+        print(f"  features parity: FAIL {str(e)[:120]}")
+
 
 def main_lru():
     """LRU family: chunked-kernel vs associative-scan recurrence engines
