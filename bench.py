@@ -345,6 +345,20 @@ def main() -> None:
             )
         except Exception as e:
             print(f"# flagship bench unavailable: {e}", file=sys.stderr)
+    # the RECOMMENDED deployment artifact: the 5-seed whiten+dropout-0
+    # ensemble. Its members share one fitted whitener, so EnsembleEngine
+    # featurizes once and vmaps only the 288->3 heads — K-member serving
+    # at ~single-model cost (runtime/ensemble.py shared featurization)
+    deploy_wps = None
+    deploy_members = None
+    deploy_manifest = REPO_ROOT / "checkpoints" / "logcov8wd_ens_manifest.json"
+    if deploy_manifest.is_file():
+        try:
+            deploy_wps, deploy_members, _, _ = ensemble_windows_per_sec(
+                windows, str(deploy_manifest)
+            )
+        except Exception as e:
+            print(f"# deploy ensemble bench unavailable: {e}", file=sys.stderr)
     from neural_speech_decoding_tpu.config import DecoderConfig
 
     print(
@@ -362,6 +376,10 @@ def main() -> None:
                 # is the speed-over-fidelity figure)
                 "gate_math": DecoderConfig().gate_math,
                 "flagship_wps": round(flagship_wps, 1) if flagship_wps else None,
+                # recommended deployment artifact (5-member shared-whitener
+                # seed ensemble) served via shared featurization
+                "deploy_ensemble_wps": round(deploy_wps, 1) if deploy_wps else None,
+                "deploy_ensemble_members": deploy_members,
                 "batch1_p50_latency_ms": round(p50_ms, 2),
                 # the same measurement minus a calibrated empty-dispatch
                 # round-trip (tunnel_rtt_p50_ms): what the chip itself

@@ -78,3 +78,7 @@ def test_bench_emits_one_json_line(extra):
         )
         if (REPO_ROOT / "checkpoints" / "logcov8w_deploy_manifest.json").is_file():
             assert payload["flagship_wps"] and payload["flagship_wps"] > 0
+        # recommended 5-member deployment ensemble, shared-featurized
+        if (REPO_ROOT / "checkpoints" / "logcov8wd_ens_manifest.json").is_file():
+            assert payload["deploy_ensemble_wps"] and payload["deploy_ensemble_wps"] > 0
+            assert payload["deploy_ensemble_members"] == 5
