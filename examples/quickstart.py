@@ -85,6 +85,23 @@ def main() -> None:
                                filt.T.astype(np.float64), fs=125.0)
     print("filter:", format_metrics(m))
 
+    # 7. the accuracy flagship: the deployed 5-seed whitened-logcov
+    # ensemble (members share one whitener, so features are extracted
+    # once and only the heads are vmapped — K-member serving at
+    # ~single-model cost). Skipped if the checkout has no checkpoints.
+    manifest = (Path(__file__).resolve().parents[1]
+                / "checkpoints" / "logcov8wd_ens_manifest.json")
+    if manifest.is_file():
+        from neural_speech_decoding_tpu.runtime.ensemble import EnsembleEngine
+
+        ens = EnsembleEngine.from_manifest(str(manifest))
+        eprobs = ens.predict_batch(ds.windows[:16])
+        eacc = float((eprobs.argmax(1) == ds.labels[:16]).mean())
+        print(f"ensemble decode: {ens.num_members} members "
+              f"(shared featurization: {ens._shared_featurize}), "
+              f"16-window accuracy {eacc:.2f}, "
+              f"guard stats {ens.stats}")
+
 
 if __name__ == "__main__":
     main()
