@@ -108,6 +108,27 @@ def test_dp_sharded_logcov_flagship_matches_single_device(dataset):
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-5)
 
 
+def test_dp_sharded_lru_chunked_matches_single_device(dataset):
+    """The LRU family's chunked state engine (constant-transition causal
+    kernel matmuls, one carry per chunk boundary) decodes dp-sharded over
+    the virtual mesh identically to a single device. Batch sharding must
+    not interact with the per-chunk carry, which is purely intra-example."""
+    from neural_speech_decoding_tpu.models.registry import get_model
+
+    spec = get_model("lru", hidden=16, scan_impl="chunked")
+    windows = np.asarray(dataset.windows[:16], np.float32)
+    params = spec.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(tp=1)
+
+    def pipeline(p, w):
+        return jax.nn.softmax(spec.apply(p, w, train=False), axis=-1)
+
+    fn, placed = sharded_predict_fn(mesh, pipeline, params)
+    sharded = np.asarray(fn(placed, jax.device_put(windows, batch_sharding(mesh))))
+    single = np.asarray(jax.jit(pipeline)(params, windows))
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-5)
+
+
 @pytest.mark.slow
 def test_mesh_sharded_ensemble_matches_single_device(dataset):
     """EnsembleEngine with a mesh: (a) dp-over-batch with the member axis
