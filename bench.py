@@ -114,7 +114,12 @@ def _fetch_rtt_ms(n: int = 20) -> float:
     return float(np.median(samples) * 1e3)
 
 
-def tpu_windows_per_sec(windows: np.ndarray) -> tuple[float, float, float, str]:
+def tpu_windows_per_sec(
+    windows: np.ndarray,
+) -> tuple[float, float, float, float, float, str]:
+    """-> (f32 windows/s, turbo bf16 windows/s, batch-1 p50 ms,
+    transfer-corrected batch-1 compute p50 ms, calibrated tunnel RTT ms,
+    device kind)."""
     import dataclasses
 
     import jax

@@ -157,9 +157,13 @@ def main() -> None:
     ap = argparse.ArgumentParser(description="Headless collection session")
     ap.add_argument("--board", default="synthetic")
     ap.add_argument("--out", default="new_data")
-    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=None,
+                    help="trials per word (default: the .psyexp's nReps "
+                         "when --psyexp is given, else 10)")
     ap.add_argument("--speed", type=float, default=1.0)
-    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="schedule shuffle seed (default: the .psyexp's "
+                         "loop seed when --psyexp is given, else 0)")
     ap.add_argument("--words-csv", default=None,
                     help="PsychoPy-style conditions file (words header)")
     ap.add_argument("--psyexp", default=None,
@@ -206,12 +210,16 @@ def main() -> None:
         board = open_board(args.board, speed=args.speed)
         board.prepare_session()
         board.start_stream()
+        # CLI flags override the .psyexp only when actually given (the
+        # parsed nReps/seed must survive bare `--psyexp file` runs)
+        n_reps = args.reps if args.reps is not None else (
+            base_cfg.n_reps if base_cfg else 10)
+        seed = args.seed if args.seed is not None else (
+            base_cfg.seed if base_cfg else 0)
         cfg = (
-            dataclasses.replace(
-                base_cfg, words=words, n_reps=args.reps, seed=args.seed
-            )
+            dataclasses.replace(base_cfg, words=words, n_reps=n_reps, seed=seed)
             if base_cfg
-            else ExperimentConfig(words=words, n_reps=args.reps, seed=args.seed)
+            else ExperimentConfig(words=words, n_reps=n_reps, seed=seed)
         )
         paths = run_experiment(
             board, args.out, cfg,

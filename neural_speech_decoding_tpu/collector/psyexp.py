@@ -40,6 +40,53 @@ def _float(params: Dict[str, str], key: str, default: float) -> float:
         return default
 
 
+def _start_dur(
+    params: Dict[str, str], default_start: float, default_dur: float
+) -> Tuple[float, float]:
+    """(onset, duration) of a component, honoring Builder's stopType:
+    'duration (s)' stopVals ARE durations; 'time (s)' stopVals are
+    absolute routine-relative end times (duration = stop - start). Other
+    stopTypes ('condition', frame counts) are not timing-recoverable and
+    keep the default duration."""
+    start = _float(params, "startVal", default_start)
+    stop_type = (params.get("stopType") or "duration (s)").strip()
+    raw = (params.get("stopVal") or "").strip()
+    try:
+        stop_val = float(raw)
+    except ValueError:
+        return start, default_dur
+    if stop_type == "time (s)":
+        return start, max(0.0, stop_val - start)
+    if stop_type == "duration (s)":
+        return start, stop_val
+    return start, default_dur
+
+
+def _trial_routine_names(root: ET.Element) -> Tuple[str, ...]:
+    """Names of the routines the trials loop repeats: the Flow entries
+    between the first isTrials LoopInitiator and its matching
+    LoopTerminator. Components elsewhere (welcome/instruction/feedback
+    routines) must not contribute timings."""
+    flow = root.find("Flow")
+    if flow is None:
+        return ()
+    names: List[str] = []
+    in_loop = None
+    for el in flow:
+        if el.tag == "LoopInitiator":
+            p = _params(el)
+            if in_loop is None and p.get("isTrials") != "False":
+                in_loop = el.get("name") or (p.get("name") or "").strip()
+        elif el.tag == "LoopTerminator":
+            if in_loop is not None and (el.get("name") or "") == in_loop:
+                break
+        elif el.tag == "Routine" and in_loop is not None:
+            name = el.get("name")
+            if name:
+                names.append(name)
+    return tuple(names)
+
+
 def _loop_words(loop_params: Dict[str, str], psyexp_path: Path) -> Tuple[str, ...]:
     """Conditions from the sibling conditions file when it exists, else
     from the inline `conditions` repr (a list of OrderedDict reprs — the
@@ -93,30 +140,45 @@ def load_psyexp(path) -> ExperimentConfig:
     cool = ExperimentConfig.cooloff_seconds
     word_start = None
 
-    for sound in root.iter("SoundComponent"):
-        p = _params(sound)
-        if p.get("disabled") == "True":
-            continue
-        beep = _float(p, "stopVal", beep)
-        break
+    # scan ONLY the routines the trials loop repeats — a welcome routine's
+    # attention beep or a feedback routine's $msg text must not hijack the
+    # trial timings (timings are routine-relative, so cross-routine
+    # comparison would be meaningless anyway)
+    routine_defs = root.find("Routines")
+    trial_names = _trial_routine_names(root)
+    if routine_defs is not None and trial_names:
+        scan: List[ET.Element] = [
+            r for r in routine_defs if r.get("name") in trial_names
+        ]
+    else:
+        scan = [root]  # degenerate XML: fall back to a whole-document scan
 
+    found_beep = False
     literal_texts = []
-    for text in root.iter("TextComponent"):
-        p = _params(text)
-        if p.get("disabled") == "True":
-            continue
-        content = (p.get("text") or "").strip()
-        if content.startswith("$"):
-            word_start = _float(p, "startVal", beep)
-            word = _float(p, "stopVal", word)
-        else:
-            literal_texts.append(p)
+    for routine in scan:
+        for sound in routine.iter("SoundComponent"):
+            p = _params(sound)
+            if p.get("disabled") == "True" or found_beep:
+                continue
+            start, dur = _start_dur(p, 0.0, beep)
+            beep = start + dur  # beep phase ends when the sound ends
+            found_beep = True
+        for text in routine.iter("TextComponent"):
+            p = _params(text)
+            if p.get("disabled") == "True":
+                continue
+            content = (p.get("text") or "").strip()
+            if content.startswith("$") and word_start is None:
+                word_start, word = _start_dur(p, beep, word)
+            elif not content.startswith("$"):
+                literal_texts.append(p)
     if literal_texts:
         # cool-off = the literal text that starts last in the routine
         p = max(literal_texts, key=lambda q: _float(q, "startVal", 0.0))
-        cool = _float(p, "stopVal", cool)
+        _, cool = _start_dur(p, 0.0, cool)
 
     n_reps = ExperimentConfig.n_reps
+    seed = ExperimentConfig.seed
     words: Tuple[str, ...] = ()
     for loop in root.iter("LoopInitiator"):
         p = _params(loop)
@@ -124,6 +186,10 @@ def load_psyexp(path) -> ExperimentConfig:
             continue
         try:
             n_reps = int(float(p.get("nReps") or n_reps))
+        except ValueError:
+            pass
+        try:
+            seed = int(float(p.get("random seed") or seed))
         except ValueError:
             pass
         words = _loop_words(p, path) or words
@@ -135,7 +201,7 @@ def load_psyexp(path) -> ExperimentConfig:
         beep = word_start
 
     kwargs = dict(beep_seconds=beep, word_seconds=word, cooloff_seconds=cool,
-                  n_reps=n_reps)
+                  n_reps=n_reps, seed=seed)
     if words:
         kwargs["words"] = words
     return ExperimentConfig(**kwargs)

@@ -345,6 +345,40 @@ def guard_spectrum(
     return jnp.where(bad[..., None, None], shrunk, s), bad
 
 
+def _project_and_fold_whitener(x_btc: jnp.ndarray, cfg: LogCovConfig, w0):
+    """Shared front half of the whitened matmul spectral method: center,
+    band-project, fold the per-band whitener into the projected rows (the
+    reordering identity documented in _whitened_band_covariances_fused).
+    ONE implementation on purpose — the fused Pallas forward
+    (_fused_kernel_forward) and the stages path its custom VJP recomputes
+    through must evaluate the exact same prefix or gradients would be
+    taken of a different function than was evaluated.
+
+    Returns (yw [B, R, C] whitened projection rows, y [B, R, C] unmixed
+    rows — their row-energies carry tr G — band slices, T)."""
+    t = x_btc.shape[1]
+    x = x_btc - jnp.mean(x_btc, axis=1, keepdims=True)
+    proj, slices = _band_projector(t, cfg)
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("rt,btc->brc", jnp.asarray(proj), x, precision=hp)
+    # static row -> band map; w_rows[r] = W_band(r)
+    band_idx = _np.concatenate(
+        [_np.full(sl.stop - sl.start, k) for k, sl in enumerate(slices)]
+    )
+    w_rows = w0[jnp.asarray(band_idx)]  # [R, C, C]
+    yw = jnp.einsum("brc,rdc->brd", y, w_rows, precision=hp)  # y @ W_k^T
+    return yw, y, slices, t
+
+
+def _band_traces_scaled(y: jnp.ndarray, slices, t: int) -> jnp.ndarray:
+    """[nb, B] per-band tr(G) * 2/T^2 from the unmixed projection rows."""
+    sq = jnp.sum(y * y, axis=-1)  # [B, R]
+    tr = jnp.stack(
+        [jnp.sum(sq[:, sl.start : sl.stop], axis=1) for sl in slices], axis=0
+    )
+    return tr * (2.0 / (t * t))
+
+
 def _whitened_band_covariances_fused(
     x_btc: jnp.ndarray, cfg: LogCovConfig, w0: jnp.ndarray
 ) -> jnp.ndarray:
@@ -359,18 +393,9 @@ def _whitened_band_covariances_fused(
     channel mix on the projection output, and the per-band grams go
     through the lane-batched Pallas kernel (ops/pallas/bandcov.py)
     instead of padded einsum matmuls (~35 ms -> ~1 ms)."""
-    t = x_btc.shape[1]
     c = cfg.num_channels
-    x = x_btc - jnp.mean(x_btc, axis=1, keepdims=True)
-    proj, slices = _band_projector(t, cfg)
+    yw, y, slices, t = _project_and_fold_whitener(x_btc, cfg, w0)
     hp = jax.lax.Precision.HIGHEST
-    y = jnp.einsum("rt,btc->brc", jnp.asarray(proj), x, precision=hp)
-    # static row -> band map; w_rows[r] = W_band(r)
-    band_idx = _np.concatenate(
-        [_np.full(sl.stop - sl.start, k) for k, sl in enumerate(slices)]
-    )
-    w_rows = w0[jnp.asarray(band_idx)]  # [R, C, C]
-    yw = jnp.einsum("brc,rdc->brd", y, w_rows, precision=hp)  # y @ W_k^T
     import os
 
     interp = os.environ.get("NSD_BANDCOV_INTERPRET") == "1"
@@ -390,10 +415,7 @@ def _whitened_band_covariances_fused(
         )
     g_w = g_w * (2.0 / (t * t))
     # shrinkage reconstructed in whitened space: a*(tr G/C + eps)*W W^T
-    sq = jnp.sum(y * y, axis=-1)  # [B, R] — unmixed rows carry tr G
-    tr_g = jnp.stack(
-        [jnp.sum(sq[:, sl], axis=1) for sl in slices], axis=1
-    ) * (2.0 / (t * t))
+    tr_g = _band_traces_scaled(y, slices, t).T  # [B, nb]
     wwt = jnp.einsum("nij,nkj->nik", w0, w0, precision=hp)
     return (1.0 - cfg.shrinkage) * g_w + cfg.shrinkage * (
         tr_g[..., None, None] / c + 1e-12
@@ -414,17 +436,9 @@ def _fused_kernel_forward(x_btc, w0, cfg: LogCovConfig, interpret: bool):
         fused_whitened_logcov_feature_rows,
     )
 
-    t = x_btc.shape[1]
     c = cfg.num_channels
-    x = x_btc - jnp.mean(x_btc, axis=1, keepdims=True)
-    proj, slices = _band_projector(t, cfg)
+    yw, y, slices, t = _project_and_fold_whitener(x_btc, cfg, w0)
     hp = jax.lax.Precision.HIGHEST
-    y = jnp.einsum("rt,btc->brc", jnp.asarray(proj), x, precision=hp)
-    band_idx = _np.concatenate(
-        [_np.full(sl.stop - sl.start, k) for k, sl in enumerate(slices)]
-    )
-    w_rows = w0[jnp.asarray(band_idx)]  # [R, C, C]
-    yw = jnp.einsum("brc,rdc->brd", y, w_rows, precision=hp)
 
     b, r = yw.shape[0], yw.shape[1]
     lanes = max(_BC_LANES, _LF_LANES)
@@ -438,11 +452,7 @@ def _fused_kernel_forward(x_btc, w0, cfg: LogCovConfig, interpret: bool):
     g_rows = _grams_batched(y_crb, sl, c, interpret=interpret)  # [nb*P, M]
 
     scale = 2.0 / (t * t)
-    sq = jnp.sum(y * y, axis=-1)  # [B, R] — unmixed rows carry tr G
-    tr_bands = jnp.stack(
-        [jnp.sum(sq[:, s.start : s.stop], axis=1) for s in slices], axis=0
-    )  # [nb, B]
-    tr_scaled = tr_bands * scale
+    tr_scaled = _band_traces_scaled(y, slices, t)  # [nb, B]
     if m_pad != b:
         tr_scaled = jnp.concatenate(
             [

@@ -98,28 +98,43 @@ def _fused_kernel(
             for i in range(1, c):
                 trace = trace + row(i, i)
 
-            # 2. spectrum guard (Sylvester PD test of s/tr_df - lo*I;
-            #    mirrors models/logcov.domain_flags + guard_spectrum)
+            # 2. spectrum guard (Sylvester PD tests mirroring
+            #    models/logcov.domain_flags + guard_spectrum: lambda_min
+            #    >= lo iff A - lo*I PD; for a custom hi < C the upper
+            #    edge needs the mirror test hi*I - A PD — trace
+            #    normalization only bounds lambda_max by C)
             if guard_g is not None:
                 tr_df = jnp.maximum(trace, 1e-30) / c
 
-                def a_entry(i, j):
-                    v = row(i, j) / tr_df
-                    return v - lo if i == j else v
-
-                low = {}
-                ok = None
-                for j in range(c):
-                    d = a_entry(j, j)
-                    for kk in range(j):
-                        d = d - low[(j, kk)] * low[(j, kk)]
-                    ok = (d > 0) if ok is None else ok & (d > 0)
-                    ljj = jnp.sqrt(jnp.maximum(d, 1e-30))
-                    for i in range(j + 1, c):
-                        t_ij = a_entry(i, j)
+                def pd_ok(entry):
+                    """Cholesky-based PD mask of the symmetric matrix
+                    given by entry(i, j) -> [1, L] lanes."""
+                    low = {}
+                    ok = None
+                    for j in range(c):
+                        d = entry(j, j)
                         for kk in range(j):
-                            t_ij = t_ij - low[(i, kk)] * low[(j, kk)]
-                        low[(i, j)] = t_ij / ljj
+                            d = d - low[(j, kk)] * low[(j, kk)]
+                        ok = (d > 0) if ok is None else ok & (d > 0)
+                        ljj = jnp.sqrt(jnp.maximum(d, 1e-30))
+                        for i in range(j + 1, c):
+                            t_ij = entry(i, j)
+                            for kk in range(j):
+                                t_ij = t_ij - low[(i, kk)] * low[(j, kk)]
+                            low[(i, j)] = t_ij / ljj
+                    return ok
+
+                ok = pd_ok(
+                    lambda i, j: row(i, j) / tr_df - lo
+                    if i == j
+                    else row(i, j) / tr_df
+                )
+                if hi < c:  # static: not generated for the default hi == C
+                    ok = ok & pd_ok(
+                        lambda i, j: hi - row(i, j) / tr_df
+                        if i == j
+                        else -(row(i, j) / tr_df)
+                    )
                 bad = ~ok  # [1, L]
                 tr_gs = trace / c
                 badf = bad.astype(s.dtype)

@@ -33,7 +33,122 @@ def _bucket(n: int) -> int:
     return 1 << max(0, math.ceil(math.log2(n)))
 
 
-class InferenceEngine:
+class _ServingBase:
+    """Shared serving surface for InferenceEngine and EnsembleEngine: the
+    thread-safe guard-flag stats fold, power-of-two batch bucketing, and
+    the predict / predict_batch / predict_batch_async contract.
+
+    Subclasses set `self._pipeline`, `self.params`, `self.config`,
+    `self.class_names`, `self._has_aux`, `self._pad_multiple` in their
+    __init__ and then call `_init_serving()`. The subtle parts — the
+    detach-fold-reacquire lock protocol in `stats` and the parked-list
+    overflow bound — live HERE exactly once so the two engines cannot
+    drift."""
+
+    #: parked guard-flag vectors are folded (one bulk host fetch) when the
+    #: list exceeds this, so a caller that never reads .stats cannot pin
+    #: unbounded device buffers
+    _MAX_PARKED_FLAGS = 4096
+
+    def _init_serving(self) -> None:
+        # guard-counter surface: windows decoded / windows whose covariance
+        # spectrum was clamped by the logcov domain guard (always 0 for
+        # families without apply_ex). Dispatches park their device flag
+        # vectors in _flag_futures; stats() folds them in. The stream
+        # decode thread appends while the dashboard's HTTP thread reads
+        # stats, so both structures live under _stats_lock.
+        self._compiled_buckets: Dict[int, bool] = {}
+        self._stats = {"windows": 0, "guard_flagged": 0}
+        self._flag_futures: list = []
+        self._stats_lock = threading.Lock()
+
+    @property
+    def stats(self) -> Dict[str, int]:
+        """{"windows", "guard_flagged"} — folds any parked async flag
+        vectors (one bulk host fetch) before returning. Thread-safe: the
+        pending list is detached under the lock, the (slow) host fetches
+        happen outside it, and the fold re-acquires to update."""
+        with self._stats_lock:
+            pending, self._flag_futures = self._flag_futures, []
+        if pending:
+            folded = [(int(np.asarray(flags)[:b].sum()), b) for flags, b in pending]
+            with self._stats_lock:
+                for flagged, b in folded:
+                    self._stats["guard_flagged"] += flagged
+                    self._stats["windows"] += b
+        with self._stats_lock:
+            return dict(self._stats)
+
+    def _park_flags(self, flags, b: int) -> None:
+        """Park a guard-flag device array instead of fetching it inline: a
+        synchronous device_get costs an extra ~29 ms tunnel round-trip on
+        the real-time latency path; stats() folds parked vectors in bulk."""
+        with self._stats_lock:
+            self._flag_futures.append((flags, b))
+            overflow = len(self._flag_futures) > self._MAX_PARKED_FLAGS
+        if overflow:  # bound the parked list
+            _ = self.stats
+
+    def _bucket_padded(self, b: int) -> int:
+        """Power-of-two bucket, rounded up to a multiple of the mesh 'dp'
+        axis so sharded batches divide evenly."""
+        bb = _bucket(b)
+        m = self._pad_multiple
+        return -(-bb // m) * m
+
+    def warmup(self, batch_sizes: Sequence[int] = (1,)) -> None:
+        t, c = self.config.window_samples, self.config.num_channels
+        for b in batch_sizes:
+            b = self._bucket_padded(b)
+            if b in self._compiled_buckets:
+                continue
+            dummy = jnp.zeros((b, t, c), jnp.float32)
+            out = self._pipeline(self.params, dummy)
+            np.asarray(out[0] if self._has_aux else out)
+            self._compiled_buckets[b] = True
+
+    def predict_batch(self, windows_btc: np.ndarray) -> np.ndarray:
+        """[B, T, C] -> probabilities [B, num_classes] (f32)."""
+        windows_btc = np.asarray(windows_btc, dtype=np.float32)
+        b = windows_btc.shape[0]
+        if b == 0:
+            return np.zeros((0, len(self.class_names)), np.float32)
+        bb = self._bucket_padded(b)
+        if bb != b:
+            pad = np.zeros((bb - b,) + windows_btc.shape[1:], np.float32)
+            windows_btc = np.concatenate([windows_btc, pad], axis=0)
+        out = self._pipeline(self.params, windows_btc)
+        self._compiled_buckets[bb] = True
+        if self._has_aux:
+            probs, flags = out
+            self._park_flags(flags, b)
+            return np.asarray(probs)[:b]
+        with self._stats_lock:
+            self._stats["windows"] += b
+        return np.asarray(out)[:b]
+
+    def predict(self, window_tc: np.ndarray) -> Tuple[np.ndarray, str]:
+        """One [T, C] window -> (probs [classes] f32, label str) — the
+        reference SimplePredictor.predict contract."""
+        probs = self.predict_batch(window_tc[None])[0]
+        return probs.astype(np.float32), self.class_names[int(np.argmax(probs))]
+
+    def predict_batch_async(self, windows_btc: jnp.ndarray):
+        """Dispatch without blocking; returns the device array future.
+        Callers pipeline acquisition against device compute. Guard flags
+        (apply_ex families) are parked device-side and folded into stats
+        on the next stats read — no extra host round-trip here."""
+        out = self._pipeline(self.params, windows_btc)
+        if self._has_aux:
+            probs, flags = out
+            self._park_flags(flags, int(windows_btc.shape[0]))
+            return probs
+        with self._stats_lock:
+            self._stats["windows"] += int(windows_btc.shape[0])
+        return out
+
+
+class InferenceEngine(_ServingBase):
     def __init__(
         self,
         model_path: Optional[str] = None,
@@ -145,99 +260,7 @@ class InferenceEngine:
             )
         else:
             self._pipeline = jax.jit(_pipeline)
-        self._compiled_buckets: Dict[int, bool] = {}
-        # guard-counter surface: windows decoded / windows whose covariance
-        # spectrum was clamped by the logcov domain guard (always 0 for
-        # families without apply_ex). Async dispatches park their device
-        # flag vectors in _flag_futures; stats() folds them in. The stream
-        # decode thread appends while the dashboard's HTTP thread reads
-        # stats, so both structures live under _stats_lock.
-        self._stats = {"windows": 0, "guard_flagged": 0}
-        self._flag_futures: list = []
-        self._stats_lock = threading.Lock()
-
-    # -- public API -----------------------------------------------------
-    @property
-    def stats(self) -> Dict[str, int]:
-        """{"windows", "guard_flagged"} — folds any parked async flag
-        vectors (one bulk host fetch) before returning. Thread-safe: the
-        pending list is detached under the lock, the (slow) host fetches
-        happen outside it, and the fold re-acquires to update."""
-        with self._stats_lock:
-            pending, self._flag_futures = self._flag_futures, []
-        if pending:
-            folded = [(int(np.asarray(flags)[:b].sum()), b) for flags, b in pending]
-            with self._stats_lock:
-                for flagged, b in folded:
-                    self._stats["guard_flagged"] += flagged
-                    self._stats["windows"] += b
-        with self._stats_lock:
-            return dict(self._stats)
-
-    def _bucket_padded(self, b: int) -> int:
-        bb = _bucket(b)
-        m = self._pad_multiple
-        return -(-bb // m) * m
-
-    def warmup(self, batch_sizes: Sequence[int] = (1,)) -> None:
-        t, c = self.config.window_samples, self.config.num_channels
-        for b in batch_sizes:
-            b = self._bucket_padded(b)
-            if b in self._compiled_buckets:
-                continue
-            dummy = jnp.zeros((b, t, c), jnp.float32)
-            out = self._pipeline(self.params, dummy)
-            np.asarray(out[0] if self._has_aux else out)
-            self._compiled_buckets[b] = True
-
-    def predict_batch(self, windows_btc: np.ndarray) -> np.ndarray:
-        """[B, T, C] -> probabilities [B, num_classes] (f32)."""
-        windows_btc = np.asarray(windows_btc, dtype=np.float32)
-        b = windows_btc.shape[0]
-        if b == 0:
-            return np.zeros((0, len(self.class_names)), np.float32)
-        bb = self._bucket_padded(b)
-        if bb != b:
-            pad = np.zeros((bb - b,) + windows_btc.shape[1:], np.float32)
-            windows_btc = np.concatenate([windows_btc, pad], axis=0)
-        out = self._pipeline(self.params, windows_btc)
-        self._compiled_buckets[bb] = True
-        if self._has_aux:
-            probs, flags = out
-            # park the flags device array instead of fetching it here: a
-            # synchronous device_get of the flags vector costs an extra
-            # ~29 ms tunnel round-trip on the real-time latency path;
-            # stats() folds it in bulk later
-            with self._stats_lock:
-                self._flag_futures.append((flags, b))
-            return np.asarray(probs)[:b]
-        with self._stats_lock:
-            self._stats["windows"] += b
-        return np.asarray(out)[:b]
-
-    def predict(self, window_tc: np.ndarray) -> Tuple[np.ndarray, str]:
-        """One [T, C] window -> (probs [classes] f32, label str) — the
-        reference SimplePredictor.predict contract."""
-        probs = self.predict_batch(window_tc[None])[0]
-        return probs.astype(np.float32), self.class_names[int(np.argmax(probs))]
-
-    def predict_batch_async(self, windows_btc: jnp.ndarray):
-        """Dispatch without blocking; returns the device array future.
-        Callers pipeline acquisition against device compute. Guard flags
-        (apply_ex families) are parked device-side and folded into stats
-        on the next stats read — no extra host round-trip here."""
-        out = self._pipeline(self.params, windows_btc)
-        if self._has_aux:
-            probs, flags = out
-            with self._stats_lock:
-                self._flag_futures.append((flags, windows_btc.shape[0]))
-                overflow = len(self._flag_futures) > 4096
-            if overflow:  # bound the parked list
-                _ = self.stats
-            return probs
-        with self._stats_lock:
-            self._stats["windows"] += int(windows_btc.shape[0])
-        return out
+        self._init_serving()
 
     def decode_recording(
         self,

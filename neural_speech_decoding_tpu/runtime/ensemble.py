@@ -18,8 +18,7 @@ device. No Python loop over members at decode time.
 from __future__ import annotations
 
 import dataclasses
-import threading
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +27,7 @@ import numpy as np
 from neural_speech_decoding_tpu.config import PipelineConfig
 from neural_speech_decoding_tpu.models.lstm import decoder_apply
 from neural_speech_decoding_tpu.ops.kuramoto import mai_filter
-from neural_speech_decoding_tpu.runtime.engine import _bucket
+from neural_speech_decoding_tpu.runtime.engine import _ServingBase
 
 
 def _load(path: str):
@@ -58,7 +57,7 @@ def stack_params(members: Sequence) -> object:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
 
 
-class EnsembleEngine:
+class EnsembleEngine(_ServingBase):
     """Same predict surface as InferenceEngine, over K checkpoints.
 
     `model_paths` may mix .npz (native pytrees) and .pth (reference
@@ -223,10 +222,7 @@ class EnsembleEngine:
             )
         else:
             self._pipeline = jax.jit(_pipeline)
-        # shared with the dashboard's HTTP threads — see InferenceEngine
-        self._stats = {"windows": 0, "guard_flagged": 0}
-        self._flag_futures: list = []
-        self._stats_lock = threading.Lock()
+        self._init_serving()
 
     @classmethod
     def from_manifest(cls, manifest_path: str, **kw) -> "EnsembleEngine":
@@ -263,71 +259,6 @@ class EnsembleEngine:
             kw.setdefault("class_names", ("Food", "Water", "None"))
         return cls(members, **kw)
 
-    # -- public API (InferenceEngine contract) ---------------------------
-    @property
-    def stats(self):
-        """{"windows", "guard_flagged"} — see InferenceEngine.stats."""
-        with self._stats_lock:
-            pending, self._flag_futures = self._flag_futures, []
-        if pending:
-            folded = [(int(np.asarray(flags)[:b].sum()), b) for flags, b in pending]
-            with self._stats_lock:
-                for flagged, b in folded:
-                    self._stats["guard_flagged"] += flagged
-                    self._stats["windows"] += b
-        with self._stats_lock:
-            return dict(self._stats)
-
-    def _bucket_padded(self, b: int) -> int:
-        """Power-of-two bucket, rounded up to a multiple of the mesh 'dp'
-        axis so sharded batches divide evenly."""
-        bb = _bucket(b)
-        m = self._pad_multiple
-        return -(-bb // m) * m
-
-    def warmup(self, batch_sizes: Sequence[int] = (1,)) -> None:
-        t, c = self.config.window_samples, self.config.num_channels
-        for b in batch_sizes:
-            dummy = jnp.zeros((self._bucket_padded(b), t, c), jnp.float32)
-            out = self._pipeline(self.params, dummy)
-            np.asarray(out[0] if self._has_aux else out)
-
-    def predict_batch(self, windows_btc: np.ndarray) -> np.ndarray:
-        """[B, T, C] -> ensemble-mean probabilities [B, num_classes]."""
-        windows_btc = np.asarray(windows_btc, dtype=np.float32)
-        b = windows_btc.shape[0]
-        if b == 0:
-            return np.zeros((0, len(self.class_names)), np.float32)
-        bb = self._bucket_padded(b)
-        if bb != b:
-            pad = np.zeros((bb - b,) + windows_btc.shape[1:], np.float32)
-            windows_btc = np.concatenate([windows_btc, pad], axis=0)
-        out = self._pipeline(self.params, windows_btc)
-        if self._has_aux:
-            probs, flags = out
-            # park the flags device array (no synchronous fetch — see
-            # InferenceEngine.predict_batch); stats() folds it later
-            with self._stats_lock:
-                self._flag_futures.append((flags, b))
-            return np.asarray(probs)[:b]
-        with self._stats_lock:
-            self._stats["windows"] += b
-        return np.asarray(out)[:b]
-
-    def predict(self, window_tc: np.ndarray) -> Tuple[np.ndarray, str]:
-        probs = self.predict_batch(window_tc[None])[0]
-        return probs.astype(np.float32), self.class_names[int(np.argmax(probs))]
-
-    def predict_batch_async(self, windows_btc: jnp.ndarray):
-        out = self._pipeline(self.params, windows_btc)
-        if self._has_aux:
-            probs, flags = out
-            with self._stats_lock:
-                self._flag_futures.append((flags, windows_btc.shape[0]))
-                overflow = len(self._flag_futures) > 4096
-            if overflow:
-                _ = self.stats
-            return probs
-        with self._stats_lock:
-            self._stats["windows"] += int(windows_btc.shape[0])
-        return out
+    # the public API (stats / warmup / predict_batch / predict /
+    # predict_batch_async) is the shared InferenceEngine contract,
+    # inherited from _ServingBase

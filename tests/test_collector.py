@@ -295,3 +295,115 @@ def test_psyexp_ingestion_custom_timings(tmp_path):
     assert cfg.cooloff_seconds == 1.0
     assert cfg.words == ("left", "right")
     assert cfg.n_reps == 6
+
+
+def test_psyexp_scopes_to_trial_routine(tmp_path):
+    """Components in welcome/feedback routines OUTSIDE the trials loop
+    must not hijack the trial timings: the welcome routine's attention
+    beep (1.0 s) and the feedback routine's $msg text are ignored; only
+    the looped trial routine contributes. The loop's `random seed` is
+    also recovered."""
+    from neural_speech_decoding_tpu.collector.psyexp import load_psyexp
+
+    (tmp_path / "exp.psyexp").write_text("""<?xml version="1.0" ?>
+<PsychoPy2experiment version="2025.1.1" encoding="utf-8">
+  <Routines>
+    <Routine name="welcome">
+      <SoundComponent name="attention">
+        <Param val="1.0" valType="code" name="stopVal"/>
+        <Param val="0.0" valType="code" name="startVal"/>
+      </SoundComponent>
+    </Routine>
+    <Routine name="trial">
+      <SoundComponent name="beep">
+        <Param val="0.4" valType="code" name="stopVal"/>
+        <Param val="0.0" valType="code" name="startVal"/>
+      </SoundComponent>
+      <TextComponent name="cue">
+        <Param val="$words" valType="str" name="text"/>
+        <Param val="0.4" valType="code" name="startVal"/>
+        <Param val="3.0" valType="code" name="stopVal"/>
+      </TextComponent>
+      <TextComponent name="rest">
+        <Param val="REST" valType="str" name="text"/>
+        <Param val="3.4" valType="code" name="startVal"/>
+        <Param val="1.2" valType="code" name="stopVal"/>
+      </TextComponent>
+    </Routine>
+    <Routine name="feedback">
+      <TextComponent name="msg">
+        <Param val="$msg" valType="str" name="text"/>
+        <Param val="0.0" valType="code" name="startVal"/>
+        <Param val="9.0" valType="code" name="stopVal"/>
+      </TextComponent>
+      <TextComponent name="bye">
+        <Param val="BYE" valType="str" name="text"/>
+        <Param val="8.0" valType="code" name="startVal"/>
+        <Param val="5.0" valType="code" name="stopVal"/>
+      </TextComponent>
+    </Routine>
+  </Routines>
+  <Flow>
+    <Routine name="welcome"/>
+    <LoopInitiator loopType="TrialHandler" name="trials">
+      <Param name="isTrials" val="True" valType="bool"/>
+      <Param name="nReps" val="4" valType="num"/>
+      <Param name="random seed" val="7" valType="code"/>
+    </LoopInitiator>
+    <Routine name="trial"/>
+    <LoopTerminator name="trials"/>
+    <Routine name="feedback"/>
+  </Flow>
+</PsychoPy2experiment>
+""")
+    cfg = load_psyexp(tmp_path / "exp.psyexp")
+    assert cfg.beep_seconds == 0.4   # not the welcome routine's 1.0
+    assert cfg.word_seconds == 3.0   # not the feedback routine's 9.0
+    assert cfg.cooloff_seconds == 1.2  # not BYE's 5.0
+    assert cfg.n_reps == 4
+    assert cfg.seed == 7
+
+
+def test_psyexp_stoptype_time_seconds(tmp_path):
+    """Builder's stopType 'time (s)' means ABSOLUTE routine-relative end
+    time, not duration: cue start 0.5 / stop 4.5 is a 4.0 s word phase."""
+    from neural_speech_decoding_tpu.collector.psyexp import load_psyexp
+
+    (tmp_path / "exp.psyexp").write_text("""<?xml version="1.0" ?>
+<PsychoPy2experiment version="2025.1.1" encoding="utf-8">
+  <Routines>
+    <Routine name="trial">
+      <SoundComponent name="beep">
+        <Param val="time (s)" valType="str" name="stopType"/>
+        <Param val="0.5" valType="code" name="stopVal"/>
+        <Param val="0.0" valType="code" name="startVal"/>
+      </SoundComponent>
+      <TextComponent name="cue">
+        <Param val="$words" valType="str" name="text"/>
+        <Param val="time (s)" valType="str" name="stopType"/>
+        <Param val="0.5" valType="code" name="startVal"/>
+        <Param val="4.5" valType="code" name="stopVal"/>
+      </TextComponent>
+      <TextComponent name="rest">
+        <Param val="COOL OFF" valType="str" name="text"/>
+        <Param val="time (s)" valType="str" name="stopType"/>
+        <Param val="4.5" valType="code" name="startVal"/>
+        <Param val="6.0" valType="code" name="stopVal"/>
+      </TextComponent>
+    </Routine>
+  </Routines>
+  <Flow>
+    <LoopInitiator loopType="TrialHandler" name="trials">
+      <Param name="isTrials" val="True" valType="bool"/>
+      <Param name="nReps" val="10" valType="num"/>
+    </LoopInitiator>
+    <Routine name="trial"/>
+    <LoopTerminator name="trials"/>
+  </Flow>
+</PsychoPy2experiment>
+""")
+    cfg = load_psyexp(tmp_path / "exp.psyexp")
+    assert cfg.beep_seconds == 0.5
+    assert cfg.word_seconds == 4.0   # 4.5 end - 0.5 start, NOT 4.5
+    assert cfg.cooloff_seconds == 1.5
+    assert cfg.trial_seconds == 6.0

@@ -123,3 +123,35 @@ def test_deployed_manifest_argmax_parity(dataset):
     assert (
         np.asarray(jnp.argmax(l_st, -1)) == np.asarray(jnp.argmax(l_kn, -1))
     ).all()
+
+
+def test_custom_hi_upper_edge_flags_match_stages(dataset):
+    """With a custom cheb_interval hi < C, trace normalization no longer
+    bounds lambda_max inside the domain — the stages path runs a mirror
+    Sylvester test (hi*I - A PD) and the fused kernel must too. A window
+    dominated by one high-variance channel (lambda_max_norm ~ 5.6 > hi=4,
+    lambda_min well above lo) exercises EXACTLY the upper edge: without
+    the kernel's mirror test it would pass unflagged and the degree-N
+    polynomial would extrapolate past hi."""
+    cfg = dataclasses.replace(
+        get_model("logcov8", whiten=True).config, cheb_interval=(0.002, 4.0)
+    )
+    cfg_st, cfg_kn = _paths(cfg)
+    nb, c = len(cfg.bands), cfg.num_channels
+    w0 = jnp.broadcast_to(jnp.eye(c, dtype=jnp.float32), (nb, c, c))
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((6, 625, c)).astype(np.float32)
+    x[0, :, 3] *= 4.0  # 16x variance channel: upper-edge violation
+    x[4, :, 6] *= 4.0
+    f_st, fl_st = lc.logcov_features(
+        jnp.asarray(x), cfg_st, w0, with_flags=True
+    )
+    f_kn, fl_kn = lc.logcov_features(
+        jnp.asarray(x), cfg_kn, w0, with_flags=True
+    )
+    f_st, fl_st, f_kn, fl_kn = map(np.asarray, (f_st, fl_st, f_kn, fl_kn))
+    np.testing.assert_array_equal(fl_kn, fl_st)
+    assert fl_kn[0] and fl_kn[4], "upper-edge windows must be flagged"
+    assert not fl_kn[1], "plain white-noise window stays in domain"
+    scale = np.abs(f_st).max()
+    np.testing.assert_allclose(f_kn, f_st, atol=5e-5 * max(scale, 1.0))
