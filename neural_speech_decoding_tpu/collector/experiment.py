@@ -169,8 +169,8 @@ def main() -> None:
     ap.add_argument("--psyexp", default=None,
                     help="PsychoPy Builder .psyexp to drive the session: "
                          "beep/word/cool-off timings + vocabulary parsed "
-                         "from the XML (collector/psyexp.py); --reps and "
-                         "--words-csv still override")
+                         "from the XML (collector/psyexp.py); --reps, "
+                         "--seed and --words-csv override when given")
     ap.add_argument(
         "--stimulus", nargs="?", const="terminal", default=None,
         choices=("terminal", "web"),

@@ -96,7 +96,22 @@ def run_crossval(
     # per family, all probabilities averaged (families with different
     # inductive biases give the diversity seed ensembles of one family lack)
     families = [f.strip() for f in model.split("+") if f.strip()]
-    specs = {name: get_model(name, **(model_kw or {})) for name in families}
+
+    # per-family config overrides: "logcov8_5:whiten=true" applies only to
+    # that family (a bare "whiten=true" would crash families whose config
+    # lacks the field); unprefixed keys go to every family
+    def _family_kw(name: str) -> dict:
+        kw = {}
+        for k, v in (model_kw or {}).items():
+            fam, sep, sub = k.partition(":")
+            if sep:
+                if fam == name:
+                    kw[sub] = v
+            else:
+                kw[k] = v
+        return kw
+
+    specs = {name: get_model(name, **_family_kw(name)) for name in families}
     if len({len(s.class_names) for s in specs.values()}) != 1:
         raise ValueError(f"ensemble families disagree on classes: {families}")
     spec_probe = specs[families[0]]
