@@ -34,6 +34,20 @@ def test_run_crossval_importable():
         assert param in sig.parameters
 
 
+def test_family_model_kw_routing():
+    """Per-family overrides ("fam:key") reach only that family; bare keys
+    reach every family; stratified routing drops foreign prefixes."""
+    from crossval import family_model_kw
+
+    kw = {"logcov8_5:whiten": True, "logcov8_5:dropout": 0.0,
+          "lru5:depth": 2, "seed_features": 7}
+    assert family_model_kw(kw, "logcov8_5") == {
+        "whiten": True, "dropout": 0.0, "seed_features": 7}
+    assert family_model_kw(kw, "lru5") == {"depth": 2, "seed_features": 7}
+    assert family_model_kw(kw, "tcn") == {"seed_features": 7}
+    assert family_model_kw(None, "tcn") == {}
+
+
 @pytest.mark.slow
 def test_crossval_ensemble_smoke():
     """Tiny end-to-end crossval of a cross-family ensemble ("a+b" spec):

@@ -60,6 +60,24 @@ from neural_speech_decoding_tpu.models.registry import (  # noqa: E402
 )
 
 
+def family_model_kw(model_kw: Optional[dict], name: str) -> dict:
+    """Resolve per-family config overrides for a cross-family ensemble.
+
+    "logcov8_5:whiten=true" applies only to that family (a bare
+    "whiten=true" would crash families whose config lacks the field);
+    unprefixed keys go to every family.
+    """
+    kw = {}
+    for k, v in (model_kw or {}).items():
+        fam, sep, sub = k.partition(":")
+        if sep:
+            if fam == name:
+                kw[sub] = v
+        else:
+            kw[k] = v
+    return kw
+
+
 def stratified_folds(labels: np.ndarray, k: int, seed: int = 0):
     rng = np.random.default_rng(seed)
     folds = [[] for _ in range(k)]
@@ -97,21 +115,10 @@ def run_crossval(
     # inductive biases give the diversity seed ensembles of one family lack)
     families = [f.strip() for f in model.split("+") if f.strip()]
 
-    # per-family config overrides: "logcov8_5:whiten=true" applies only to
-    # that family (a bare "whiten=true" would crash families whose config
-    # lacks the field); unprefixed keys go to every family
-    def _family_kw(name: str) -> dict:
-        kw = {}
-        for k, v in (model_kw or {}).items():
-            fam, sep, sub = k.partition(":")
-            if sep:
-                if fam == name:
-                    kw[sub] = v
-            else:
-                kw[k] = v
-        return kw
-
-    specs = {name: get_model(name, **_family_kw(name)) for name in families}
+    specs = {
+        name: get_model(name, **family_model_kw(model_kw, name))
+        for name in families
+    }
     if len({len(s.class_names) for s in specs.values()}) != 1:
         raise ValueError(f"ensemble families disagree on classes: {families}")
     spec_probe = specs[families[0]]
