@@ -213,6 +213,16 @@ _BUILDERS: Dict[str, Callable[..., ModelSpec]] = {
     "logcov8_5": lambda **kw: _logcov_spec(
         "logcov8_5", 5, FIVE_CLASS_NAMES, **{"bands": _NARROW_BANDS, **kw}
     ),
+    # 5-class multi-resolution variant (broad + narrow bands), the 5-class
+    # counterpart of logcov12 — exists so the band-diversity ensemble that
+    # lifted 3-class CV (logcov8+logcov12) can be screened on 5 classes too
+    "logcov12_5": lambda **kw: _logcov_spec(
+        "logcov12_5", 5, FIVE_CLASS_NAMES,
+        **{
+            "bands": tuple(_logcov.LogCovConfig().bands) + _NARROW_BANDS,
+            **kw,
+        },
+    ),
 }
 
 

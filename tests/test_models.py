@@ -167,6 +167,18 @@ def test_logcov12_multiresolution_bands(windows):
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+def test_logcov12_5_multiresolution_bands(windows):
+    """logcov12_5 = the 12-band multi-resolution view on 5 classes."""
+    spec = get_model("logcov12_5")
+    assert len(spec.config.bands) == 12
+    assert len(spec.class_names) == 5
+    params = spec.init(jax.random.PRNGKey(0))
+    assert params["head"]["w"].shape == (12 * 36, 5)
+    logits = spec.apply(params, windows[:3])
+    assert logits.shape == (3, 5)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
 def test_logcov_whitening_fit_hook(windows):
     """whiten=True: ModelSpec.fit computes the per-band tangent-point
     whitener G^-1/2; features on the fitting data become near-centered and
