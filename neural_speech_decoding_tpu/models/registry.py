@@ -250,6 +250,24 @@ def parse_model_kw(pairs) -> Dict[str, Any]:
     return kw
 
 
+def family_model_kw(model_kw, name: str) -> Dict[str, Any]:
+    """Resolve per-family config overrides for a cross-family ensemble.
+
+    "logcov8_5:whiten=true" applies only to that family (a bare
+    "whiten=true" would crash families whose config lacks the field);
+    unprefixed keys go to every family. Shared by tools/crossval.py
+    (training-time mixes) and runtime/ensemble.py (serving them)."""
+    kw: Dict[str, Any] = {}
+    for k, v in (model_kw or {}).items():
+        fam, sep, sub = k.partition(":")
+        if sep:
+            if fam == name:
+                kw[sub] = v
+        else:
+            kw[k] = v
+    return kw
+
+
 def _freeze(value: Any) -> Any:
     """JSON-decoded override values -> hashable (lists become tuples), so
     frozen dataclass configs keep working as jit statics / cache keys."""

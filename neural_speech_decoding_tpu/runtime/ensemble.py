@@ -57,12 +57,31 @@ def stack_params(members: Sequence) -> object:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
 
 
+def _identical_whiteners(params_list) -> bool:
+    """True when every member's non-trainable whitener buffer is identical
+    (or absent everywhere) — the condition under which the family's feature
+    extractor is the same function of the input for all members, so
+    features can be extracted once and only the heads vmapped."""
+    if not all(isinstance(p, dict) for p in params_list):
+        return False
+    ws = [p.get("whitener") for p in params_list]
+    if all(w is None for w in ws):
+        return True
+    if all(w is not None for w in ws):
+        w0 = np.asarray(ws[0])
+        return all(np.array_equal(np.asarray(w), w0) for w in ws[1:])
+    return False
+
+
 class EnsembleEngine(_ServingBase):
     """Same predict surface as InferenceEngine, over K checkpoints.
 
     `model_paths` may mix .npz (native pytrees) and .pth (reference
     format, LSTM families only) as long as every member is the same model
-    family with identical shapes.
+    family with identical shapes — OR `model` may name a cross-family mix
+    ("logcov8+logcov12", the tools/crossval.py ensemble syntax), in which
+    case members group by family, each group decodes in one vmapped pass,
+    and the mean-softmax runs over all members of all groups.
     """
 
     def __init__(
@@ -78,6 +97,7 @@ class EnsembleEngine(_ServingBase):
         mesh=None,
         shard_members: bool = False,
         share_features: str = "auto",
+        families: Optional[Sequence[str]] = None,
     ):
         """`mesh`: a jax.sharding.Mesh with 'dp' (and optionally 'tp')
         axes — the serving pass then shards the window batch over 'dp'
@@ -105,6 +125,15 @@ class EnsembleEngine(_ServingBase):
             if not model_paths:
                 raise ValueError("need model_paths or params_list")
             params_list = [_load(p) for p in model_paths]
+        fam_names = [f.strip() for f in model.split("+") if f.strip()]
+        if len(fam_names) > 1 or families is not None:
+            self._init_mixed(
+                params_list, fam_names, families, config=config,
+                class_names=class_names, turbo=turbo, model_kw=model_kw,
+                mesh=mesh, shard_members=shard_members,
+                share_features=share_features,
+            )
+            return
         spec = get_model(model, **(model_kw or {}))
         config = config or PipelineConfig(
             class_names=spec.class_names,
@@ -154,23 +183,14 @@ class EnsembleEngine(_ServingBase):
         # extractor is the same function of the input — i.e. the only
         # featurize-relevant pytree leaf (the fitted whitener buffer) is
         # identical across members, or absent everywhere
-        self._shared_featurize = False
-        if (
+        self._shared_featurize = (
             share_features == "auto"
             and self._has_aux
             and spec.featurize_ex is not None
             and spec.head_apply is not None
             and self.num_members > 1
-            and all(isinstance(p, dict) for p in params_list)
-        ):
-            ws = [p.get("whitener") for p in params_list]
-            if all(w is None for w in ws):
-                self._shared_featurize = True
-            elif all(w is not None for w in ws):
-                w0 = np.asarray(ws[0])
-                self._shared_featurize = all(
-                    np.array_equal(np.asarray(w), w0) for w in ws[1:]
-                )
+            and _identical_whiteners(params_list)
+        )
         if model.startswith("lstm"):
             apply_fn = lambda p, x: decoder_apply(p, x, decoder_cfg, train=False)  # noqa: E731
         else:
@@ -224,6 +244,159 @@ class EnsembleEngine(_ServingBase):
             self._pipeline = jax.jit(_pipeline)
         self._init_serving()
 
+    def _init_mixed(
+        self,
+        params_list: Sequence,
+        fam_names: Sequence[str],
+        families: Optional[Sequence[str]],
+        *,
+        config: Optional[PipelineConfig],
+        class_names: Optional[Sequence[str]],
+        turbo: bool,
+        model_kw: Optional[dict],
+        mesh,
+        shard_members: bool,
+        share_features: str,
+    ) -> None:
+        """Cross-family ensemble serving: members group by family, each
+        group is stacked + vmapped (with the shared-featurization fast
+        path per group when its whiteners agree), and mean-softmax runs
+        over ALL members inside ONE jitted pipeline — the Kuramoto filter
+        still runs exactly once per window. This is the deployment
+        counterpart of tools/crossval.py's "famA+famB" mixes (per-family
+        overrides via the same "fam:key=value" model_kw routing)."""
+        from neural_speech_decoding_tpu.models.registry import (
+            family_model_kw,
+            get_model,
+        )
+
+        if turbo or shard_members:
+            raise ValueError(
+                "turbo/shard_members are not supported for mixed-family "
+                "ensembles"
+            )
+        if families is None:
+            if not fam_names:
+                raise ValueError("need a model string or explicit families")
+            k, rem = divmod(len(params_list), len(fam_names))
+            if rem or k == 0:
+                raise ValueError(
+                    f"{len(params_list)} members do not split evenly over "
+                    f"families {fam_names}; pass families= explicitly"
+                )
+            # crossval/fit_ensemble member order: k members per family,
+            # grouped in family order
+            families = [f for f in fam_names for _ in range(k)]
+        families = [str(f) for f in families]
+        if len(families) != len(params_list):
+            raise ValueError(
+                f"families ({len(families)}) must parallel members "
+                f"({len(params_list)})"
+            )
+        self.num_members = len(params_list)
+        self.families = tuple(families)
+
+        group_order = list(dict.fromkeys(families))
+        groups = []  # (spec, has_aux, shared_featurize, k) per family
+        stacked_groups = []
+        for fam in group_order:
+            spec = get_model(fam, **family_model_kw(model_kw, fam))
+            plist = [
+                p for p, f in zip(params_list, families) if f == fam
+            ]
+            has_aux = (
+                not fam.startswith("lstm")
+            ) and spec.apply_ex is not None
+            shared = (
+                share_features == "auto"
+                and has_aux
+                and spec.featurize_ex is not None
+                and spec.head_apply is not None
+                and len(plist) > 1
+                and _identical_whiteners(plist)
+            )
+            groups.append((spec, has_aux, shared, len(plist)))
+            stacked_groups.append(stack_params(plist))
+
+        name_sets = {tuple(g[0].class_names) for g in groups}
+        if len(name_sets) != 1:
+            raise ValueError(
+                f"mixed-family members disagree on class names: {name_sets}"
+            )
+        spec0 = groups[0][0]
+        config = config or PipelineConfig(class_names=spec0.class_names)
+        self.config = config
+        self.class_names = tuple(class_names or config.class_names)
+        self._has_aux = any(g[1] for g in groups)
+        self._shared_featurize = tuple(g[2] for g in groups)
+        self._mesh = mesh
+        self._pad_multiple = 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._pad_multiple = int(mesh.shape["dp"])
+            replicated = NamedSharding(mesh, P())
+            stacked_groups = [
+                jax.device_put(s, replicated) for s in stacked_groups
+            ]
+        else:
+            stacked_groups = [jax.device_put(s) for s in stacked_groups]
+        self.params = tuple(stacked_groups)
+
+        filter_cfg = config.filter
+        num_members = self.num_members
+        has_aux_any = self._has_aux
+
+        def _pipeline(group_params, windows_btc: jnp.ndarray):
+            filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(
+                windows_btc
+            )
+            prob_sum = None
+            flags = None
+            # static Python loop over families: traced once, each group's
+            # member axis stays a single vmapped MXU batch
+            for (spec_, aux_, shared_, _k), stacked in zip(
+                groups, group_params
+            ):
+                if shared_:
+                    p0 = jax.tree_util.tree_map(lambda l: l[0], stacked)
+                    feats, f = spec_.featurize_ex(p0, filtered)
+                    logits = jax.vmap(
+                        lambda p: spec_.head_apply(p, feats, train=False)
+                    )(stacked)
+                elif aux_:
+                    logits, aux = jax.vmap(
+                        lambda p: spec_.apply_ex(p, filtered, train=False)
+                    )(stacked)
+                    f = jnp.any(aux["domain_flags"], axis=0)
+                else:
+                    logits = jax.vmap(
+                        lambda p: spec_.apply(p, filtered, train=False)
+                    )(stacked)
+                    f = None
+                s = jnp.sum(jax.nn.softmax(logits, axis=-1), axis=0)
+                prob_sum = s if prob_sum is None else prob_sum + s
+                if f is not None:
+                    flags = f if flags is None else flags | f
+            probs = prob_sum / num_members
+            if has_aux_any:
+                if flags is None:
+                    flags = jnp.zeros(windows_btc.shape[0], bool)
+                return probs, flags
+            return probs
+
+        if mesh is not None:
+            from neural_speech_decoding_tpu.parallel.sharding import (
+                batch_sharding,
+            )
+
+            self._pipeline = jax.jit(
+                _pipeline, in_shardings=(None, batch_sharding(mesh))
+            )
+        else:
+            self._pipeline = jax.jit(_pipeline)
+        self._init_serving()
+
     @classmethod
     def from_manifest(cls, manifest_path: str, **kw) -> "EnsembleEngine":
         """Build from a tools/fit_ensemble.py manifest JSON (member paths
@@ -251,6 +424,8 @@ class EnsembleEngine(_ServingBase):
         kw.setdefault(
             "model_kw", manifest.get("config", {}).get("model_kw") or None
         )
+        if manifest.get("families"):
+            kw.setdefault("families", manifest["families"])
         if kw["model"] == "lstm":
             # reference class-name quirk (reference tester.py:85): every
             # lstm serving path labels class 2 "None"; manifest serving

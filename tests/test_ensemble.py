@@ -168,6 +168,111 @@ def test_shared_featurization_matches_per_member(logcov_member_paths, dataset):
     assert shared.stats["guard_flagged"] >= 1
 
 
+@pytest.fixture(scope="module")
+def mixed_members(tmp_path_factory):
+    """Two whitened logcov8 members + two whitened logcov12 members — the
+    band-diversity mix cross-validated in tools/crossval.py."""
+    import jax.numpy as jnp
+
+    from neural_speech_decoding_tpu.io import load_trials
+
+    tmp = tmp_path_factory.mktemp("mixed_ens")
+    x_fit = jnp.asarray(load_trials().windows[:48])
+    paths, families = [], []
+    for fam in ("logcov8", "logcov12"):
+        spec = get_model(fam, whiten=True, dropout=0.0)
+        for s in range(2):
+            params = spec.fit(spec.init(jax.random.PRNGKey(s)), x_fit)
+            p = tmp / f"{fam}_s{s}.npz"
+            save_params_npz(p, params)
+            paths.append(str(p))
+            families.append(fam)
+    return paths, families
+
+
+MIX_KW = {
+    "logcov8:whiten": True, "logcov8:dropout": 0.0,
+    "logcov12:whiten": True, "logcov12:dropout": 0.0,
+}
+
+
+def test_mixed_family_ensemble_is_mean_over_all_members(mixed_members, dataset):
+    """A "famA+famB" engine averages softmax over every member of every
+    family, and guard flags OR across families."""
+    paths, _families = mixed_members
+    ens = EnsembleEngine(paths, model="logcov8+logcov12", model_kw=MIX_KW)
+    assert ens.num_members == 4
+    # per-group shared featurization: both groups have identical whiteners
+    assert ens._shared_featurize == (True, True)
+
+    x = np.array(dataset.windows[50:58], np.float32)
+    x[1, :, 2] *= 1e6  # guard-firing fault: flags must survive the mix
+    probs = ens.predict_batch(x)
+
+    sub8 = EnsembleEngine(
+        paths[:2], model="logcov8", model_kw={"whiten": True, "dropout": 0.0}
+    )
+    sub12 = EnsembleEngine(
+        paths[2:], model="logcov12", model_kw={"whiten": True, "dropout": 0.0}
+    )
+    expected = (sub8.predict_batch(x) + sub12.predict_batch(x)) / 2
+    np.testing.assert_allclose(probs, expected, atol=1e-6)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+    assert ens.stats["guard_flagged"] >= 1
+
+
+def test_mixed_family_explicit_families_matches_inferred(mixed_members, dataset):
+    paths, families = mixed_members
+    inferred = EnsembleEngine(paths, model="logcov8+logcov12", model_kw=MIX_KW)
+    explicit = EnsembleEngine(
+        paths, model="logcov8+logcov12", model_kw=MIX_KW, families=families
+    )
+    w = dataset.windows[:3]
+    np.testing.assert_allclose(
+        inferred.predict_batch(w), explicit.predict_batch(w), atol=1e-6
+    )
+
+
+def test_mixed_family_manifest_roundtrip(mixed_members, dataset, tmp_path):
+    import json
+    from pathlib import Path
+
+    paths, families = mixed_members
+    for p in paths:
+        (tmp_path / Path(p).name).write_bytes(Path(p).read_bytes())
+    manifest = tmp_path / "mix_manifest.json"
+    manifest.write_text(json.dumps({
+        "model": "logcov8+logcov12",
+        "members": [Path(p).name for p in paths],
+        "families": families,
+        "config": {"model_kw": MIX_KW},
+    }))
+    ens = EnsembleEngine.from_manifest(str(manifest))
+    direct = EnsembleEngine(paths, model="logcov8+logcov12", model_kw=MIX_KW)
+    w = dataset.windows[:2]
+    np.testing.assert_allclose(
+        ens.predict_batch(w), direct.predict_batch(w), atol=1e-6
+    )
+
+
+def test_mixed_family_validation(mixed_members):
+    paths, _ = mixed_members
+    with pytest.raises(ValueError):  # 3 members over 2 families
+        EnsembleEngine(paths[:3], model="logcov8+logcov12", model_kw=MIX_KW)
+    with pytest.raises(ValueError):  # class-count disagreement
+        EnsembleEngine(
+            params_list=[
+                get_model("logcov8").init(jax.random.PRNGKey(0)),
+                get_model("logcov8_5").init(jax.random.PRNGKey(1)),
+            ],
+            model="logcov8+logcov8_5",
+        )
+    with pytest.raises(ValueError):  # turbo unsupported on mixes
+        EnsembleEngine(
+            paths, model="logcov8+logcov12", model_kw=MIX_KW, turbo=True
+        )
+
+
 def test_shared_featurization_requires_identical_whiteners(
     logcov_member_paths, tmp_path, dataset
 ):

@@ -182,6 +182,45 @@ def test_mesh_sharded_ensemble_matches_single_device(dataset):
         )
 
 
+def test_mesh_sharded_mixed_family_ensemble(dataset):
+    """A cross-family mix (logcov8+logcov12) serves dp-sharded over the
+    virtual mesh with unchanged probabilities — the multi-device evidence
+    for the mixed-band deployment path."""
+    from neural_speech_decoding_tpu.models.registry import get_model
+    from neural_speech_decoding_tpu.ops.kuramoto import mai_filter_batch
+    from neural_speech_decoding_tpu.runtime.ensemble import EnsembleEngine
+
+    fcfg = FilterConfig(precision="fast")
+    filtered = np.asarray(mai_filter_batch(dataset.windows[:32], fcfg))
+    members, families = [], []
+    for fam in ("logcov8", "logcov12"):
+        spec = get_model(fam, whiten=True, logm="chebyshev_scan")
+        for seed in range(2):
+            members.append(
+                spec.fit(spec.init(jax.random.PRNGKey(seed)), filtered)
+            )
+            families.append(fam)
+
+    kw = dict(
+        model="logcov8+logcov12",
+        model_kw={
+            "logcov8:whiten": True, "logcov8:logm": "chebyshev_scan",
+            "logcov12:whiten": True, "logcov12:logm": "chebyshev_scan",
+        },
+        families=families,
+    )
+    base = EnsembleEngine(params_list=members, **kw)
+    windows = np.asarray(dataset.windows[32:46], np.float32)  # odd batch
+    ref = base.predict_batch(windows)
+
+    mesh = make_mesh(tp=1)
+    dp = EnsembleEngine(params_list=members, mesh=mesh, **kw)
+    np.testing.assert_allclose(
+        dp.predict_batch(windows), ref, rtol=2e-4, atol=2e-5
+    )
+    assert dp.stats["windows"] == windows.shape[0]
+
+
 @pytest.mark.slow
 def test_mesh_sharded_deployed_manifest(dataset):
     """The shipped 5-member deployment manifest serves dp-sharded over the

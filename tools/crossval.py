@@ -56,26 +56,9 @@ REFERENCE_CKPT = (
 
 
 from neural_speech_decoding_tpu.models.registry import (  # noqa: E402
+    family_model_kw,  # re-exported: tests and older callers import from here
     parse_model_kw,  # re-exported: fit_ensemble imports it from here
 )
-
-
-def family_model_kw(model_kw: Optional[dict], name: str) -> dict:
-    """Resolve per-family config overrides for a cross-family ensemble.
-
-    "logcov8_5:whiten=true" applies only to that family (a bare
-    "whiten=true" would crash families whose config lacks the field);
-    unprefixed keys go to every family.
-    """
-    kw = {}
-    for k, v in (model_kw or {}).items():
-        fam, sep, sub = k.partition(":")
-        if sep:
-            if fam == name:
-                kw[sub] = v
-        else:
-            kw[k] = v
-    return kw
 
 
 def stratified_folds(labels: np.ndarray, k: int, seed: int = 0):

@@ -64,10 +64,26 @@ def main() -> None:
 
     import numpy as np
 
-    from crossval import parse_model_kw  # tools/ sibling
+    from neural_speech_decoding_tpu.models.registry import (
+        family_model_kw,
+        parse_model_kw,
+    )
 
     model_kw = parse_model_kw(args.model_kw)
-    spec = get_model(args.model, **model_kw)
+    # "logcov8+logcov12" fits a cross-family mix: `seeds` members per
+    # family (the crossval ensemble convention), per-family overrides via
+    # the same "fam:key=value" model_kw routing
+    families = [f.strip() for f in args.model.split("+") if f.strip()]
+    specs = {
+        fam: get_model(fam, **family_model_kw(model_kw, fam))
+        for fam in families
+    }
+    n_classes = {len(s.class_names) for s in specs.values()}
+    if len(n_classes) != 1:
+        raise SystemExit(
+            f"mixed families disagree on class count: {args.model}"
+        )
+    spec = specs[families[0]]
     if len(spec.class_names) == 5:
         ds = load_trials(class_prefixes=FIVE_CLASS_PREFIXES)
     else:
@@ -86,45 +102,57 @@ def main() -> None:
     # (share_features="auto"). Per-member init otherwise differs normally.
     import jax
 
-    shared_fit = None
-    if spec.fit is not None:
-        shared_fit = lambda p: spec.fit(  # noqa: E731
-            p, preprocessed, ds.labels.astype(np.int32)
-        )
-
     members = []
-    for s in range(args.seeds):
-        # same member-seed derivation as crossval's ensemble (fold 0 slot)
-        member_seed = args.base_seed + 9973 * s
-        train_cfg = TrainConfig(
-            learning_rate=args.lr, epochs=args.epochs, batch_size=32,
-            label_smoothing=args.label_smoothing, seed=member_seed,
-            schedule=args.schedule, augment_prob=args.augment,
-            augment_kinds=args.aug_kinds,
-            # deployment fit: fixed budget, tiny val split for logging only
-            val_fraction=0.05, keep_best=False,
-        )
-        print(f"[member {s + 1}/{args.seeds}] seed={member_seed}", flush=True)
-        init_params = None
-        if shared_fit is not None:
-            rng = jax.random.PRNGKey(member_seed)
-            _, k = jax.random.split(rng)  # train()'s init-key derivation
-            init_params = shared_fit(spec.init(k))
-        params, history = train(
-            ds, train_cfg=train_cfg, model=args.model, model_kw=model_kw,
-            preprocessed=preprocessed, verbose=False,
-            init_params=init_params,
-        )
-        out = f"{args.out_prefix}_s{s}.npz"
-        save_params_npz(out, params)
-        print(f"  saved {out} ({len(history)} epochs, "
-              f"final train acc {history[-1].get('train_accuracy', float('nan')):.3f})",
-              flush=True)
-        members.append(out)
+    member_families = []
+    total = args.seeds * len(families)
+    for fam in families:
+        fam_spec = specs[fam]
+        fam_kw = family_model_kw(model_kw, fam)
+        shared_fit = None
+        if fam_spec.fit is not None:
+            shared_fit = lambda p: fam_spec.fit(  # noqa: E731
+                p, preprocessed, ds.labels.astype(np.int32)
+            )
+        for s in range(args.seeds):
+            # same member-seed derivation as crossval's ensemble (fold 0
+            # slot); families share the seed set, as in crossval mixes
+            member_seed = args.base_seed + 9973 * s
+            train_cfg = TrainConfig(
+                learning_rate=args.lr, epochs=args.epochs, batch_size=32,
+                label_smoothing=args.label_smoothing, seed=member_seed,
+                schedule=args.schedule, augment_prob=args.augment,
+                augment_kinds=args.aug_kinds,
+                # deployment fit: fixed budget, tiny val split for logging
+                val_fraction=0.05, keep_best=False,
+            )
+            print(
+                f"[member {len(members) + 1}/{total}] {fam} "
+                f"seed={member_seed}",
+                flush=True,
+            )
+            init_params = None
+            if shared_fit is not None:
+                rng = jax.random.PRNGKey(member_seed)
+                _, k = jax.random.split(rng)  # train()'s init-key derivation
+                init_params = shared_fit(fam_spec.init(k))
+            params, history = train(
+                ds, train_cfg=train_cfg, model=fam, model_kw=fam_kw,
+                preprocessed=preprocessed, verbose=False,
+                init_params=init_params,
+            )
+            suffix = f"_{fam}_s{s}" if len(families) > 1 else f"_s{s}"
+            out = f"{args.out_prefix}{suffix}.npz"
+            save_params_npz(out, params)
+            print(f"  saved {out} ({len(history)} epochs, "
+                  f"final train acc {history[-1].get('train_accuracy', float('nan')):.3f})",
+                  flush=True)
+            members.append(out)
+            member_families.append(fam)
 
     manifest = {
         "model": args.model,
         "members": members,
+        "families": member_families,
         "config": {
             "epochs": args.epochs, "augment": args.augment,
             "aug_kinds": args.aug_kinds,
