@@ -57,6 +57,16 @@ def stack_params(members: Sequence) -> object:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
 
 
+def _combine_soft(soft: jnp.ndarray, how: str) -> jnp.ndarray:
+    """[K, B, C] member softmaxes -> [B, C]. "median" renormalizes (the
+    per-class median of simplex points is not itself on the simplex);
+    argmax semantics match tools/aggregator_study.py's replay exactly."""
+    if how == "median":
+        med = jnp.median(soft, axis=0)
+        return med / jnp.sum(med, axis=-1, keepdims=True)
+    return jnp.mean(soft, axis=0)
+
+
 def _identical_whiteners(params_list) -> bool:
     """True when every member's non-trainable whitener buffer is identical
     (or absent everywhere) — the condition under which the family's feature
@@ -98,6 +108,7 @@ class EnsembleEngine(_ServingBase):
         shard_members: bool = False,
         share_features: str = "auto",
         families: Optional[Sequence[str]] = None,
+        combine: str = "mean",
     ):
         """`mesh`: a jax.sharding.Mesh with 'dp' (and optionally 'tp')
         axes — the serving pass then shards the window batch over 'dp'
@@ -118,9 +129,21 @@ class EnsembleEngine(_ServingBase):
         instead of K full band-covariance + Clenshaw-logm passes.
         Identical probabilities and flags by construction (equality
         test: tests/test_ensemble.py). "never" forces the per-member
-        pipeline."""
+        pipeline.
+
+        `combine`: how the K member softmaxes collapse to one probability
+        vector. "mean" (default) is the deployed combiner — the
+        reference-protocol generalization every accuracy table uses.
+        "median" (renormalized per-class median over members) is the
+        robust alternative measured by tools/aggregator_study.py: +1.3
+        session-level points on the 3-class deployment config (6/6 fold
+        seeds) but neutral elsewhere, so it ships as an option, not the
+        default (docs/BENCHMARKS.md "Ensemble combiner study")."""
         from neural_speech_decoding_tpu.models.registry import get_model
 
+        if combine not in ("mean", "median"):
+            raise ValueError(f"unknown combine {combine!r}")
+        self.combine = combine
         if params_list is None:
             if not model_paths:
                 raise ValueError("need model_paths or params_list")
@@ -131,7 +154,7 @@ class EnsembleEngine(_ServingBase):
                 params_list, fam_names, families, config=config,
                 class_names=class_names, turbo=turbo, model_kw=model_kw,
                 mesh=mesh, shard_members=shard_members,
-                share_features=share_features,
+                share_features=share_features, combine=combine,
             )
             return
         spec = get_model(model, **(model_kw or {}))
@@ -207,7 +230,7 @@ class EnsembleEngine(_ServingBase):
                 logits = jax.vmap(
                     lambda p: spec.head_apply(p, feats, train=False)
                 )(stacked)
-                probs = jnp.mean(jax.nn.softmax(logits, axis=-1), axis=0)
+                probs = _combine_soft(jax.nn.softmax(logits, axis=-1), combine)
                 return probs, flags
 
         elif self._has_aux:
@@ -218,7 +241,7 @@ class EnsembleEngine(_ServingBase):
                     lambda p, x: spec.apply_ex(p, x, train=False),
                     in_axes=(0, None),
                 )(stacked, filtered)
-                probs = jnp.mean(jax.nn.softmax(logits, axis=-1), axis=0)
+                probs = _combine_soft(jax.nn.softmax(logits, axis=-1), combine)
                 # a window is flagged if ANY member's whitener pushed its
                 # covariance out of the Chebyshev domain
                 return probs, jnp.any(aux["domain_flags"], axis=0)
@@ -228,7 +251,7 @@ class EnsembleEngine(_ServingBase):
             def _pipeline(stacked, windows_btc: jnp.ndarray) -> jnp.ndarray:
                 filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
                 logits = jax.vmap(apply_fn, in_axes=(0, None))(stacked, filtered)
-                return jnp.mean(jax.nn.softmax(logits, axis=-1), axis=0)
+                return _combine_soft(jax.nn.softmax(logits, axis=-1), combine)
 
         if mesh is not None:
             from neural_speech_decoding_tpu.parallel.sharding import (
@@ -257,6 +280,7 @@ class EnsembleEngine(_ServingBase):
         mesh,
         shard_members: bool,
         share_features: str,
+        combine: str = "mean",
     ) -> None:
         """Cross-family ensemble serving: members group by family, each
         group is stacked + vmapped (with the shared-featurization fast
@@ -344,14 +368,13 @@ class EnsembleEngine(_ServingBase):
         self.params = tuple(stacked_groups)
 
         filter_cfg = config.filter
-        num_members = self.num_members
         has_aux_any = self._has_aux
 
         def _pipeline(group_params, windows_btc: jnp.ndarray):
             filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(
                 windows_btc
             )
-            prob_sum = None
+            softs = []  # per-group [k, B, C] member softmaxes
             flags = None
             # static Python loop over families: traced once, each group's
             # member axis stays a single vmapped MXU batch
@@ -374,11 +397,13 @@ class EnsembleEngine(_ServingBase):
                         lambda p: spec_.apply(p, filtered, train=False)
                     )(stacked)
                     f = None
-                s = jnp.sum(jax.nn.softmax(logits, axis=-1), axis=0)
-                prob_sum = s if prob_sum is None else prob_sum + s
+                softs.append(jax.nn.softmax(logits, axis=-1))
                 if f is not None:
                     flags = f if flags is None else flags | f
-            probs = prob_sum / num_members
+            # combine over ALL members of all groups at once (median needs
+            # the full member axis; mean over the concat equals the old
+            # incremental sum / num_members)
+            probs = _combine_soft(jnp.concatenate(softs, axis=0), combine)
             if has_aux_any:
                 if flags is None:
                     flags = jnp.zeros(windows_btc.shape[0], bool)

@@ -296,3 +296,49 @@ def test_shared_featurization_requires_identical_whiteners(
     assert not ens._shared_featurize
     probs = ens.predict_batch(dataset.windows[:4])
     assert probs.shape == (4, 3)
+
+
+def test_median_combine_matches_aggregator_replay(member_paths, dataset):
+    """combine='median' equals the renormalized per-class median of the
+    member probabilities — the exact combiner tools/aggregator_study.py
+    measured (+1.3 session on the 3-class deployment, 6/6 fold seeds)."""
+    from tools.aggregator_study import aggregate
+
+    windows = dataset.windows[:4]
+    med = EnsembleEngine(member_paths, model="tcn_small", combine="median")
+    member_probs = np.stack(
+        [
+            InferenceEngine(p, model="tcn_small").predict_batch(windows)
+            for p in member_paths
+        ]
+    )
+    np.testing.assert_allclose(
+        med.predict_batch(windows),
+        aggregate(member_probs, "median"),
+        atol=1e-6,
+    )
+    with pytest.raises(ValueError):
+        EnsembleEngine(member_paths, model="tcn_small", combine="mode")
+
+
+def test_median_combine_mixed_family(mixed_members, dataset):
+    """The mixed-family pipeline medians over ALL members of all groups
+    (and keeps guard flags), matching the per-member numpy replay."""
+    from tools.aggregator_study import aggregate
+
+    paths, families = mixed_members
+    windows = dataset.windows[:4]
+    med = EnsembleEngine(
+        paths, model="logcov8+logcov12", model_kw=MIX_KW, combine="median"
+    )
+    out = med.predict_batch(windows)
+    member_probs = []
+    for p, fam in zip(paths, families):
+        eng = InferenceEngine(
+            p, model=fam, model_kw={"whiten": True, "dropout": 0.0}
+        )
+        member_probs.append(eng.predict_batch(windows))
+    np.testing.assert_allclose(
+        out, aggregate(np.stack(member_probs), "median"), atol=1e-6
+    )
+    np.testing.assert_allclose(out.sum(axis=1), 1.0, atol=1e-5)
