@@ -236,6 +236,12 @@ def main() -> None:
         help="model-config override for the family (repeatable), e.g. "
              "--model-kw whiten=true for a whitened logcov checkpoint",
     )
+    ap.add_argument(
+        "--combine", default="mean", choices=("mean", "median"),
+        help="ensemble member combiner (manifest serving only): mean is "
+             "the deployed default; median is the robust alternative "
+             "measured in docs/BENCHMARKS.md's combiner study",
+    )
     ap.add_argument("--window-seconds", type=float, default=5.0)
     args = ap.parse_args()
 
@@ -255,7 +261,8 @@ def main() -> None:
 
         # explicit --model-kw overrides win over the manifest's recorded kw
         engine = EnsembleEngine.from_manifest(
-            args.model, **({"model_kw": model_kw} if model_kw else {})
+            args.model, combine=args.combine,
+            **({"model_kw": model_kw} if model_kw else {}),
         )
     elif model_kw:
         engine = InferenceEngine(

@@ -106,3 +106,39 @@ def test_knight_board_legacy_connector(dataset):
     assert win.shape == (8, 625)
     # legacy path: channel config happens after the stream starts
     assert len(board.config_log) == 16
+
+
+def test_tester_cli_combine_flag(monkeypatch, tmp_path):
+    """--combine median reaches EnsembleEngine.from_manifest (manifest
+    serving is the only path it applies to)."""
+    import json
+
+    from neural_speech_decoding_tpu.runtime import tester as tester_mod
+
+    manifest = tmp_path / "ens_manifest.json"
+    manifest.write_text(json.dumps({"model": "tcn_small", "members": []}))
+    seen = {}
+
+    def fake_from_manifest(path, **kw):
+        seen.update(kw, path=path)
+        return object()
+
+    class _Stats:
+        windows_per_second = 1.0
+        latency = {}
+
+    from neural_speech_decoding_tpu.runtime.ensemble import EnsembleEngine
+
+    monkeypatch.setattr(
+        EnsembleEngine, "from_manifest", staticmethod(fake_from_manifest)
+    )
+    monkeypatch.setattr(
+        tester_mod, "run_trials_ex", lambda **kw: ("ok", _Stats())
+    )
+    monkeypatch.setattr(
+        "sys.argv",
+        ["tester", "--model", str(manifest), "--combine", "median"],
+    )
+    tester_mod.main()
+    assert seen["combine"] == "median"
+    assert seen["path"] == str(manifest)
