@@ -70,9 +70,9 @@ def sigmoid(x: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# LSTM gate-block evaluation — shared by the lax.scan recurrence
-# (models/lstm.py) and the Pallas kernel (ops/pallas/lstm.py) so the two
-# backends stay provably in sync.
+# LSTM gate-block evaluation for the lax.scan recurrence (models/lstm.py).
+# (Also served the retired Pallas LSTM kernel; kept factored out so any
+# future recurrence backend reuses the exact same gate numerics.)
 # ---------------------------------------------------------------------------
 def sigmoid_fold_mask(h_dim: int, dtype=jnp.float32) -> jnp.ndarray:
     """[4H] mask that pre-halves the sigmoid gates' columns (i, f, o in

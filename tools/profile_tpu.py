@@ -1,4 +1,4 @@
-"""Decompose TPU pipeline cost: filter vs LSTM, XLA scan vs Pallas kernel.
+"""Decompose TPU pipeline cost: filter vs LSTM scan vs full pipeline.
 
 Timing note: through the axon tunnel `block_until_ready` does NOT wait for
 remote execution — every measurement here forces a host transfer
@@ -28,7 +28,6 @@ from neural_speech_decoding_tpu.io.checkpoint import load_decoder_params
 from neural_speech_decoding_tpu.io.dataset import load_trials
 from neural_speech_decoding_tpu.models.lstm import decoder_apply
 from neural_speech_decoding_tpu.ops.kuramoto import mai_filter
-from neural_speech_decoding_tpu.ops.pallas.lstm import decoder_apply_pallas
 
 CKPT = (
     "/root/reference/Neuro-Alpha-App/Utilities/LSTM_Model/"
@@ -47,7 +46,6 @@ def bench(fn, *args, iters=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--blocks", default="256:25,512:25,128:125,1024:25,256:125,2048:5")
     args = ap.parse_args()
 
     params = jax.device_put(load_decoder_params(CKPT))
@@ -84,63 +82,19 @@ def main():
     print(f"  lstm(scan)  : {t_lstm * 1e3:8.2f} ms  ({b / t_lstm:10.0f} w/s)")
     print(f"  full(scan)  : {t_full * 1e3:8.2f} ms  ({b / t_full:10.0f} w/s)")
 
-    ref_logits = np.asarray(lstm_fn(params, filtered[:256]))
-    for spec in args.blocks.split(","):
-        bb, bt = (int(v) for v in spec.split(":"))
-        if b % bb:
-            continue
-        try:
-            pal = jax.jit(
-                lambda p, w, bb=bb, bt=bt: decoder_apply_pallas(
-                    p, w, dcfg, block_b=bb, block_t=bt
-                )
-            )
-            t_pal = bench(pal, params, filtered)
-            got = np.asarray(pal(params, filtered[:256] if bb <= 256 else filtered))[
-                :256
-            ]
-            ok = np.abs(got - ref_logits).max() < 1e-3
-            print(
-                f"  lstm(pallas {bb}x{bt}): {t_pal * 1e3:8.2f} ms "
-                f"({b / t_pal:10.0f} w/s) match={ok}"
-            )
-        except Exception as e:
-            print(f"  lstm(pallas {bb}x{bt}): FAIL {str(e)[:110]}")
-
-    # full pipeline with pallas decoder
+    # bf16 turbo decode for the speed-ceiling comparison
+    turbo_cfg = DecoderConfig(recurrence_dtype="bfloat16")
+    turbo_fn = jax.jit(lambda p, w: decoder_apply(p, w, turbo_cfg))
     try:
-        full_pal = jax.jit(
-            lambda p, w: jax.nn.softmax(
-                decoder_apply_pallas(
-                    p, jax.vmap(lambda x: mai_filter(x, fcfg))(w), dcfg,
-                    block_b=min(256, b), block_t=25,
-                ),
-                -1,
-            )
-        )
-        t_fp = bench(full_pal, params, batch)
-        print(f"  full(pallas): {t_fp * 1e3:8.2f} ms  ({b / t_fp:10.0f} w/s)")
+        t_turbo = bench(turbo_fn, params, filtered)
+        print(f"  lstm(bf16)  : {t_turbo * 1e3:8.2f} ms  ({b / t_turbo:10.0f} w/s)")
     except Exception as e:
-        print(f"  full(pallas): FAIL {str(e)[:110]}")
+        print(f"  lstm(bf16)  : FAIL {str(e)[:110]}")
 
     # batch-1 latency (dominated by tunnel rtt here; device time = delta)
     one = batch[:1]
     t1 = bench(full_fn, params, one, iters=10)
-    try:
-        pal1 = jax.jit(
-            lambda p, w: jax.nn.softmax(
-                decoder_apply_pallas(
-                    p, jax.vmap(lambda x: mai_filter(x, fcfg))(w), dcfg,
-                    block_b=1, block_t=125,
-                ),
-                -1,
-            )
-        )
-        t1p = bench(pal1, params, one, iters=10)
-    except Exception as e:
-        t1p = float("nan")
-        print("  pallas batch-1 FAIL:", str(e)[:110])
-    print(f"  batch-1 full: scan {t1 * 1e3:.2f} ms | pallas {t1p * 1e3:.2f} ms | rtt {rtt * 1e3:.2f} ms")
+    print(f"  batch-1 full: scan {t1 * 1e3:.2f} ms | rtt {rtt * 1e3:.2f} ms")
 
 
 def main_logcov():
