@@ -186,7 +186,36 @@ def tpu_windows_per_sec(
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)
     rtt_ms = _fetch_rtt_ms()
-    compute_p50_ms = max(0.0, p50_ms - rtt_ms)
+
+    # Transfer-corrected batch-1 COMPUTE latency. Batch-1 compute (~1-2 ms)
+    # is far below the tunnel RTT's jitter, so "p50 - rtt" clamps to 0 and
+    # measures nothing. Instead: chain CHAIN_M pipeline executions inside
+    # one jitted fori_loop with a true data dependency (the next input is
+    # perturbed by 1e-30 x a probability, so XLA cannot hoist, fold, or
+    # parallelize the iterations), fetch once, and amortize the single
+    # round-trip over all CHAIN_M executions.
+    CHAIN_M = 64
+
+    def _chain_body(_, carry):
+        w_i, acc = carry
+        filtered = jax.vmap(lambda x: mai_filter(x, filter_cfg))(w_i)
+        probs = jax.nn.softmax(decoder_apply(params, filtered, decoder_cfg), -1)
+        w_next = w_i + probs[0, 0].astype(w_i.dtype) * 1e-30
+        return (w_next, acc + probs)
+
+    @jax.jit
+    def pipeline_chain(w):
+        zero = jnp.zeros((w.shape[0], 3), jnp.float32)
+        _, acc = jax.lax.fori_loop(0, CHAIN_M, _chain_body, (w, zero))
+        return acc
+
+    np.asarray(pipeline_chain(one))  # compile + warm
+    chain = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(pipeline_chain(one))
+        chain.append(time.perf_counter() - t0)
+    compute_p50_ms = max(0.0, (float(np.median(chain)) * 1e3 - rtt_ms) / CHAIN_M)
     return throughput, turbo_throughput, p50_ms, compute_p50_ms, rtt_ms, device_kind
 
 

@@ -71,10 +71,16 @@ def test_bench_emits_one_json_line(extra):
         # transfer-corrected latency (VERDICT r3 #4): both the raw synced
         # number and the compute-only figure ship in the driver record
         assert payload["batch1_p50_latency_ms"] > 0
-        assert payload["batch1_compute_p50_ms"] >= 0
+        # amortized 64-deep on-device chain: genuinely positive, not the
+        # old "p50 - rtt" subtraction that clamps to 0 under tunnel jitter
+        assert payload["batch1_compute_p50_ms"] > 0
         assert payload["tunnel_rtt_p50_ms"] >= 0
-        assert (
-            payload["batch1_compute_p50_ms"] <= payload["batch1_p50_latency_ms"]
+        # compute is measured by a separate amortized chain, so on a local
+        # device (rtt ~0) it can land a hair above the single-call p50 —
+        # allow measurement noise, but it must never exceed the client-
+        # observed latency by more than that.
+        assert payload["batch1_compute_p50_ms"] <= (
+            payload["batch1_p50_latency_ms"] * 1.25 + 0.5
         )
         if (REPO_ROOT / "checkpoints" / "logcov8w_deploy_manifest.json").is_file():
             assert payload["flagship_wps"] and payload["flagship_wps"] > 0
