@@ -191,9 +191,19 @@ class InferenceEngine(_ServingBase):
                         f".pth checkpoints are LSTM-family; got model={model!r}"
                     )
                 params = load_decoder_params(model_path)
+        # Serving default: the FAST filter. In f32 the two precision modes
+        # share every matmul (all HIGHEST) and differ only in the 8x8 ridge
+        # solve — batched LAPACK-style LU vs unrolled Gauss-Jordan + one
+        # Newton-Schulz step. Both hold the <=1e-4 golden-logit budget
+        # (docs/BENCHMARKS.md Fidelity), but on TPU the LU path costs 2.3x
+        # the whole filter (49.5 vs 21.2 ms at B=16384, 2026-08-18) — it
+        # was the single largest avoidable cost in the serving engines.
+        # Pass an explicit PipelineConfig to opt back into fidelity mode
+        # (f64 on CPU with x64).
         config = config or PipelineConfig(
             class_names=spec.class_names,
             decoder=spec.config if model.startswith("lstm") else PipelineConfig().decoder,
+            filter=FilterConfig(precision="fast"),
         )
         if sample_rate is not None and sample_rate != config.sample_rate:
             # reference quirk: the predictor adopts the *stream's* reported

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from neural_speech_decoding_tpu.config import PipelineConfig
+from neural_speech_decoding_tpu.config import FilterConfig, PipelineConfig
 from neural_speech_decoding_tpu.models.lstm import decoder_apply
 from neural_speech_decoding_tpu.ops.kuramoto import mai_filter
 from neural_speech_decoding_tpu.runtime.engine import _ServingBase
@@ -158,11 +158,15 @@ class EnsembleEngine(_ServingBase):
             )
             return
         spec = get_model(model, **(model_kw or {}))
+        # fast-filter serving default — same rationale and numbers as
+        # InferenceEngine (runtime/engine.py): in f32 the modes differ only
+        # in the 8x8 solve, and the LU path costs 2.3x the filter on TPU.
         config = config or PipelineConfig(
             class_names=spec.class_names,
             decoder=spec.config
             if model.startswith("lstm")
             else PipelineConfig().decoder,
+            filter=FilterConfig(precision="fast"),
         )
         self.config = config
         self.class_names = tuple(class_names or config.class_names)
@@ -348,7 +352,10 @@ class EnsembleEngine(_ServingBase):
                 f"mixed-family members disagree on class names: {name_sets}"
             )
         spec0 = groups[0][0]
-        config = config or PipelineConfig(class_names=spec0.class_names)
+        config = config or PipelineConfig(
+            class_names=spec0.class_names,
+            filter=FilterConfig(precision="fast"),
+        )
         self.config = config
         self.class_names = tuple(class_names or config.class_names)
         self._has_aux = any(g[1] for g in groups)

@@ -58,6 +58,42 @@ def filtered_trials() -> np.ndarray:
 
 
 @pytest.mark.parametrize("manifest,bound", MANIFESTS)
+def test_shipped_checkpoint_filter_precision_parity(manifest, bound):
+    """The serving engines default to the FAST filter (round 4): in f32 the
+    precision modes differ only in the 8x8 ridge solve (GJ+Newton-Schulz vs
+    LU), and on TPU the LU path costs 2.3x the filter. Pin the flip to the
+    shipped artifacts end-to-end: raw golden trials through EnsembleEngine
+    under both filter configs must agree in argmax on every trial."""
+    import dataclasses
+
+    from neural_speech_decoding_tpu.config import FilterConfig
+    from neural_speech_decoding_tpu.io.dataset import load_trials
+    from neural_speech_decoding_tpu.runtime.ensemble import EnsembleEngine
+
+    mpath = REPO_ROOT / manifest
+    if not mpath.is_file():
+        pytest.skip(f"{manifest} not present")
+    raw = jnp.asarray(load_trials().windows)
+
+    eng_fast = EnsembleEngine.from_manifest(str(mpath))
+    assert eng_fast.config.filter.precision == "fast"  # the round-4 default
+    eng_hi = EnsembleEngine.from_manifest(
+        str(mpath),
+        config=dataclasses.replace(
+            eng_fast.config, filter=FilterConfig(precision="highest")
+        ),
+    )
+
+    def probs_of(eng):
+        out = eng._pipeline(eng.params, raw)
+        return np.asarray(out[0] if eng._has_aux else out)
+
+    p_fast, p_hi = probs_of(eng_fast), probs_of(eng_hi)
+    np.testing.assert_array_equal(p_fast.argmax(1), p_hi.argmax(1))
+    assert float(np.abs(p_fast - p_hi).max()) < bound
+
+
+@pytest.mark.parametrize("manifest,bound", MANIFESTS)
 def test_shipped_checkpoint_spectral_parity(manifest, bound, filtered_trials):
     mpath = REPO_ROOT / manifest
     if not mpath.is_file():
