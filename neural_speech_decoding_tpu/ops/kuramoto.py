@@ -110,6 +110,44 @@ def kuramoto_operator_from_analytic(
     )
 
 
+def _mm_tiny(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[C, C] @ [C, C] as a compensated broadcast multiply-sum, not a dot.
+
+    Under vmap a per-window 8x8 matmul becomes a batched dot_general,
+    which XLA pads onto 128x128 MXU tiles — ~16x waste on BOTH operand
+    dims. The three 8x8 products in the fast solve (P^T P and the two
+    Newton-Schulz refinements) measured ~9 ms of the filter's 21.9 ms at
+    B=16384 on a v5e (2026-08-18); as broadcast sums they map to the VPU
+    under vmap and cost ~1 ms.
+
+    The arithmetic is fully compensated — Dekker TwoProduct for each
+    a[i,k]*b[k,j] plus branch-free Knuth TwoSum for the reduction, errors
+    accumulated in a parallel carry term. This matters: a plain jnp.sum
+    over f32 products lost ~2x vs the HIGHEST dot it replaces (golden
+    logit delta 3.1e-4 — over the 1e-4 budget — because HIGHEST's
+    bf16-split passes accumulate partial products exactly), while the
+    compensated form is ~f64-quality and measured at IDENTICAL
+    throughput: the extra VPU flops on [B, C, C] tiles are free."""
+    split = jnp.asarray(4097.0, a.dtype)  # 2^12 + 1, Dekker split for f32
+    x = a[:, :, None]  # [i, k, 1]
+    y = b[None, :, :]  # [1, k, j]
+    p = x * y
+    xh = x * split - (x * split - x)
+    xl = x - xh
+    yh = y * split - (y * split - y)
+    yl = y - yh
+    perr = ((xh * yh - p) + xh * yl + xl * yh) + xl * yl
+    s = p[:, 0]
+    c = perr[:, 0]
+    for k in range(1, p.shape[1]):
+        t = p[:, k]
+        new = s + t
+        bv = new - s
+        c = c + ((s - (new - bv)) + (t - bv)) + perr[:, k]
+        s = new
+    return s + c
+
+
 def _solve_gauss_jordan(a: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Solve A X = Y for tiny well-conditioned systems with unrolled
     Gauss-Jordan elimination (no pivoting).
@@ -186,7 +224,10 @@ def mai_filter(
 
     c = x.shape[-1]
     eye = jnp.eye(c, dtype=dtype)
-    a = eye + jnp.asarray(lambd, dtype) * jnp.matmul(p.T, p, precision=mm)
+    # All C x C products go through _mm_tiny (VPU broadcast sums): batched
+    # 8x8 dot_generals under vmap pad onto MXU tiles and measured ~9 ms of
+    # the filter's 21.9 ms at B=16384 — see _mm_tiny's docstring.
+    a = eye + jnp.asarray(lambd, dtype) * _mm_tiny(p.T, p)
     # Solve A @ out^T = x^T (reference inverts A explicitly). Fidelity mode
     # keeps the LAPACK-style solve; the fast path uses unrolled pivot-free
     # Gauss-Jordan, which vectorizes over the batch on the VPU.
@@ -195,11 +236,9 @@ def mai_filter(
         # keeping the T-wide right-hand side out of the elimination steps.
         inv = _solve_gauss_jordan(a, eye)
         # One Newton-Schulz refinement, X <- X (2I - A X): two extra C x C
-        # matmuls per window (noise at this size) squash the elimination's
-        # f32 rounding so the fast path holds the <=1e-4 logit budget too.
-        inv = jnp.matmul(
-            inv, 2.0 * eye - jnp.matmul(a, inv, precision=mm), precision=mm
-        )
+        # products per window squash the elimination's f32 rounding so the
+        # fast path holds the <=1e-4 logit budget too.
+        inv = _mm_tiny(inv, 2.0 * eye - _mm_tiny(a, inv))
         out = jnp.matmul(x, inv.T, precision=mm)
     else:
         out = jnp.linalg.solve(a, x.T).T
