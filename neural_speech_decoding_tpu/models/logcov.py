@@ -69,14 +69,27 @@ class LogCovConfig:
     # adds a non-trainable "whitener" buffer to the params pytree, fitted
     # once via ModelSpec.fit before training.
     whiten: bool = False
-    # matrix-log backend. "chebyshev" (default) evaluates logm as a
-    # trace-normalized Chebyshev matrix polynomial, agreeing with eigh to
-    # ~1e-4: on TPU via the lane-batched Pallas Clenshaw kernel
-    # (ops/pallas/logm.py — the XLA eigh at ~11k windows/s is the family's
-    # serving bottleneck), elsewhere via an XLA Clenshaw scan.
-    # "chebyshev_scan" forces the scan; "eigh" is the exact
-    # eigendecomposition reference path.
-    logm: str = "chebyshev"
+    # matrix-log backend. "rational" (default, round 4) evaluates logm as
+    # a trace-normalized partial-fraction resolvent sum
+    #   log A ~= c0 I + sum_j v_j (A - p_j I)^{-1},   p_j < 0
+    # fitted to log on cheb_interval by f64 least squares
+    # (_rational_log_coeffs): with logm_terms=12 SPD solves it is ~4x MORE
+    # accurate than the degree-320 Chebyshev it replaced (2.99e-6 vs
+    # 1.14e-5 max error against f64 eigh on the shipped dataset's whitened
+    # band covariances, 2026-08-18) at ~12x fewer VPU ops — the Clenshaw
+    # recurrence was ~19 ms of degree-linear FMAs at B=16384 on a v5e.
+    # All shifts A - p_j I are SPD (p_j < 0), so the kernel's unrolled
+    # pivot-free Gauss-Jordan inverse is stable.
+    # "chebyshev" evaluates the trace-normalized Chebyshev matrix
+    # polynomial (agreeing with eigh to ~1e-5): on TPU via the
+    # lane-batched Pallas Clenshaw kernel (ops/pallas/logm.py — the XLA
+    # eigh at ~11k windows/s is the family's serving bottleneck),
+    # elsewhere via an XLA Clenshaw scan. "chebyshev_scan" forces the
+    # scan; "eigh" is the exact eigendecomposition reference path.
+    logm: str = "rational"
+    # number of resolvent terms for logm="rational"; poles are log-spaced
+    # on -[lo/16, 16*hi] (the widened range measured best in the LS fit)
+    logm_terms: int = 12
     # Chebyshev fit of log on this normalized-eigenvalue interval. The
     # shrinkage floor guarantees lambda_norm >= shrinkage for unwhitened
     # covariances (enforced below); whitened ones measure >= 0.013 on the
@@ -96,18 +109,21 @@ class LogCovConfig:
     # default; turning it off restores the unguarded round-2 behavior
     # (useful only for kernel microbenchmarks).
     guard_domain: bool = True
-    # whitened-serving fusion level. "stages": the round-3 pipeline
-    # (Pallas band grams -> XLA shrinkage/guard -> Pallas Clenshaw), whose
+    # whitened-serving fusion level. "kernel" (default, round 4): one
+    # fused Pallas kernel (ops/pallas/logmfeats.py) keeps the gram
+    # pair-rows layout end to end — shrinkage, spectrum guard, matrix
+    # log, and triu feature extraction all in VMEM, no padded
+    # [.., 8, 8] arrays anywhere. With logm="rational" it measures
+    # 9.8 ms feats+head at B=16384 vs 30.9 ms for the round-3 default
+    # (stages + chebyshev) on a v5e. "stages": the round-3 pipeline
+    # (Pallas band grams -> XLA shrinkage/guard -> logm), whose
     # [B, nb, 8, 8] intermediates are 16x-padded in TPU HBM tiling —
-    # profiling shows ~35 ms of degree-independent layout overhead at
-    # B=16384 (checkpoints/profile_logcov_r3.log: degree 128 -> 40.6 ms,
-    # degree 320 -> 49.6 ms). "kernel": one fused Pallas kernel
-    # (ops/pallas/logmfeats.py) keeps the gram pair-rows layout end to
-    # end — shrinkage, spectrum guard, Clenshaw logm, and triu feature
-    # extraction all in VMEM, no padded [.., 8, 8] arrays anywhere.
-    # Applies only to whitened matmul-spectral serving with guard_domain
-    # on (the flagship path); falls back to "stages" otherwise.
-    fused: str = "stages"
+    # kept as the bisection/differentiation reference (the kernel's
+    # custom VJP recomputes through it).
+    # The kernel branch applies only to whitened matmul-spectral serving
+    # with guard_domain on (the flagship path) on TPU; everything else
+    # falls back to "stages" automatically.
+    fused: str = "kernel"
 
     def __post_init__(self):
         if self.logm != "eigh" and self.shrinkage < self.cheb_interval[0]:
@@ -266,6 +282,72 @@ def _logm_spd_chebyshev(s: jnp.ndarray, cfg: LogCovConfig) -> jnp.ndarray:
     )
     logm_a = coeffs[0] * eye + mm(t, b1) - b2
     return logm_a + jnp.log(trace) * eye
+
+
+@functools.lru_cache(maxsize=8)
+def _rational_log_coeffs(
+    lo: float, hi: float, terms: int
+) -> Tuple[float, Tuple[float, ...], Tuple[float, ...]]:
+    """(c0, poles, weights) of the partial-fraction fit
+    log x ~= c0 + sum_j w_j / (x - p_j) on [lo, hi], fitted in f64 by
+    least squares on a 4000-point log grid. Poles are log-spaced on
+    -[lo/16, 16*hi]; the widened range measured 2.2e-6 max fit error at
+    terms=12 vs 1.1e-5 for poles confined to -[lo/4, 4*hi]."""
+    xs = _np.geomspace(lo, hi, 4000)
+    poles = -_np.geomspace(lo / 16.0, hi * 16.0, terms)
+    a = _np.concatenate(
+        [_np.ones((xs.size, 1)), 1.0 / (xs[:, None] - poles[None, :])],
+        axis=1,
+    )
+    coef, *_ = _np.linalg.lstsq(a, _np.log(xs), rcond=None)
+    return (
+        float(coef[0]),
+        tuple(float(p) for p in poles),
+        tuple(float(w) for w in coef[1:]),
+    )
+
+
+def _inv_tiny_spd(m: jnp.ndarray) -> jnp.ndarray:
+    """Batched [..., C, C] SPD inverse by unrolled pivot-free Gauss-Jordan
+    in the uniform rank-1 form (g = m[.., i] - e_i lands the pivot row
+    exactly on its scaled value, so no row replacement is needed).
+
+    Everything is broadcast/elementwise math, so the whole batch runs on
+    the VPU: batched LAPACK-style jnp.linalg.solve on [B*nb, 8, 8] shifts
+    measured ~900 ms at B=4096 on a v5e (TPU custom-call path), while
+    this unroll is the same ~1 ms-scale cost as the filter's 8x8 solve.
+    Differentiable (pure jnp ops) for the custom-VJP recompute path."""
+    c = m.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(c, dtype=m.dtype), m.shape)
+    inv = eye
+    for i in range(c):
+        r = 1.0 / m[..., i : i + 1, i : i + 1]
+        mrow = m[..., i : i + 1, :] * r
+        vrow = inv[..., i : i + 1, :] * r
+        g = m[..., :, i : i + 1] - eye[..., :, i : i + 1]
+        m = m - g * mrow
+        inv = inv - g * vrow
+    return inv
+
+
+def _logm_spd_rational(s: jnp.ndarray, cfg: LogCovConfig) -> jnp.ndarray:
+    """logm of batched SPD matrices as a resolvent (partial-fraction) sum.
+
+    Trace-normalize as in _logm_spd_chebyshev, then
+    log A ~= c0 I + sum_j v_j (A - p_j I)^{-1} with all shifts SPD
+    (p_j < 0, so pivot-free elimination is stable). The portable
+    reference for the fused kernel's rational mode
+    (ops/pallas/logmfeats.py) and the custom-VJP recompute path."""
+    c = s.shape[-1]
+    lo, hi = cfg.cheb_interval
+    c0, poles, weights = _rational_log_coeffs(lo, hi, cfg.logm_terms)
+    eye = jnp.eye(c, dtype=s.dtype)
+    trace = jnp.trace(s, axis1=-2, axis2=-1)[..., None, None] / c
+    a = s / trace
+    out = c0 * jnp.broadcast_to(eye, a.shape)
+    for p, v in zip(poles, weights):
+        out = out + v * _inv_tiny_spd(a - p * eye)
+    return out + jnp.log(trace) * eye
 
 
 def _pd_mask(m: jnp.ndarray) -> jnp.ndarray:
@@ -467,17 +549,23 @@ def _fused_kernel_forward(x_btc, w0, cfg: LogCovConfig, interpret: bool):
     wwt_pairs = wwt[:, iu, ju]  # [nb, P]
 
     lo, hi = cfg.cheb_interval
+    if cfg.logm == "rational":
+        c0, poles, wts = _rational_log_coeffs(lo, hi, cfg.logm_terms)
+        coeffs, mode = (c0,) + poles + wts, "rational"
+    else:
+        coeffs, mode = _cheb_log_coeffs(lo, hi, cfg.cheb_degree), "chebyshev"
     feats_rows, flag_rows = fused_whitened_logcov_feature_rows(
         g_rows,
         tr_scaled,
         wwt_pairs,
-        _cheb_log_coeffs(lo, hi, cfg.cheb_degree),
+        coeffs,
         c=c,
         scale=scale,
         alpha=cfg.shrinkage,
         lo=lo,
         hi=hi,
         guard_g=_guard_strength(cfg),
+        logm=mode,
         interpret=interpret,
     )
     feats = feats_rows[:, :b].T  # [B, nb*P] — row k*P+p == triu order
@@ -490,7 +578,11 @@ def _stages_feats_reference(x_btc, w0, cfg: LogCovConfig):
     custom-VJP backward of the fused kernel recomputes through this."""
     s = _whitened_band_covariances_fused(x_btc, cfg, w0)
     s, _ = guard_spectrum(s, cfg)
-    logm = _logm_spd_chebyshev(s, cfg)
+    logm = (
+        _logm_spd_rational(s, cfg)
+        if cfg.logm == "rational"
+        else _logm_spd_chebyshev(s, cfg)
+    )
     c = cfg.num_channels
     iu, ju = jnp.triu_indices(c)
     weights = jnp.where(iu == ju, 1.0, jnp.sqrt(2.0)).astype(jnp.float32)
@@ -540,7 +632,7 @@ def logcov_features(
         fused_interp = os.environ.get("NSD_FUSED_INTERPRET") == "1"
         if (
             cfg.fused == "kernel"
-            and cfg.logm == "chebyshev"
+            and cfg.logm in ("chebyshev", "rational")
             and cfg.guard_domain
             and (jax.default_backend() == "tpu" or fused_interp)
         ):
@@ -566,7 +658,7 @@ def logcov_features(
     # custom hi < C interval is unguaranteed either way. Only the
     # polynomial backends extrapolate; eigh degrades boundedly on its own.
     flags = None
-    polynomial = cfg.logm in ("chebyshev", "chebyshev_scan")
+    polynomial = cfg.logm in ("chebyshev", "chebyshev_scan", "rational")
     at_risk = whitener is not None or cfg.cheb_interval[1] < cfg.num_channels
     if cfg.guard_domain and polynomial and at_risk:
         s, band_flags = guard_spectrum(s, cfg)
@@ -589,6 +681,8 @@ def logcov_features(
         )
     elif cfg.logm in ("chebyshev", "chebyshev_scan"):
         logm = _logm_spd_chebyshev(s, cfg)
+    elif cfg.logm == "rational":
+        logm = _logm_spd_rational(s, cfg)
     elif cfg.logm == "eigh":
         w, v = jnp.linalg.eigh(s)  # batched 8x8
         logm = jnp.einsum(

@@ -69,6 +69,7 @@ def _fused_kernel(
     lo: float,
     hi: float,
     guard_g: float | None,
+    logm: str = "chebyshev",
 ):
     """Kernel body. Blocks: grams [nb*P, L], traces [nb, L] (already
     scaled by 2/T^2), wwt [nb*P, L] (lane-broadcast constant rows);
@@ -160,46 +161,101 @@ def _fused_kernel(
             else:
                 flags_ref[k : k + 1] = tr_ref[k : k + 1] * 0.0
 
-            # 3. trace-normalized Clenshaw (ops/pallas/logm.py recurrence)
+            # 3. trace-normalized matrix log
             tr2 = trace / c  # [1, L]
             inv_tr = 1.0 / tr2
-            t_rows = []
-            for i in range(c):
-                for j in range(c):
-                    a_ij = row(i, j) * inv_tr
-                    if i == j:
-                        t_rows.append(
-                            (2.0 * a_ij - (hi + lo)) / (hi - lo)
-                        )
-                    else:
-                        t_rows.append(2.0 * a_ij / (hi - lo))
-            t = jnp.concatenate(t_rows, axis=0).reshape(c, c, -1)
+            if logm == "rational":
+                # resolvent sum: out = c0 I + sum_j v_j (A - p_j I)^{-1},
+                # coeffs_ref layout [c0, p_0..p_{M-1}, v_0..v_{M-1}],
+                # degree == M. Every shift is SPD (p_j < 0), so the
+                # unrolled pivot-free Gauss-Jordan inverse below is
+                # stable (pivots >= lambda_min(A) + |p_j| > 0).
+                # Matrices live as c row tensors of [c, L] (columns on
+                # sublanes, batch on lanes) — the 2D shapes Mosaic lays
+                # out well; [1, 1, L] pivot slices of a 3D tensor crash
+                # its vector-layout pass.
+                a_2d = [
+                    jnp.concatenate(
+                        [row(i, j) * inv_tr for j in range(c)], axis=0
+                    )  # [c, L]
+                    for i in range(c)
+                ]
+                coliota = jax.lax.broadcasted_iota(
+                    jnp.int32, a_2d[0].shape, 0
+                )
+                units = [
+                    (coliota == k).astype(a_2d[0].dtype) for k in range(c)
+                ]
+                out_rows = [coeffs_ref[0] * units[k] for k in range(c)]
+                for j in range(degree):
+                    p = coeffs_ref[1 + j]
+                    m_rows = [a_2d[k] - p * units[k] for k in range(c)]
+                    inv_rows = list(units)
+                    for i in range(c):
+                        r = 1.0 / m_rows[i][i : i + 1]  # [1, L]
+                        mrow = m_rows[i] * r  # [c, L]
+                        vrow = inv_rows[i] * r
+                        # uniform rank-1 form: g_k = m[k, i] - delta_ki
+                        # lands row i exactly on the scaled pivot row —
+                        # no row-replacement copies needed
+                        for k in range(c):
+                            g = m_rows[k][i : i + 1] - (
+                                1.0 if k == i else 0.0
+                            )
+                            m_rows[k] = m_rows[k] - g * mrow
+                            inv_rows[k] = inv_rows[k] - g * vrow
+                    v = coeffs_ref[1 + degree + j]
+                    out_rows = [
+                        out_rows[k] + v * inv_rows[k] for k in range(c)
+                    ]
 
-            rowi = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-            coli = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            eye = (rowi == coli).astype(t.dtype)
+                def out_entry(i, j):
+                    return out_rows[i][j : j + 1, :]  # [1, L]
 
-            def matmul(a, b):
-                acc = a[:, 0:1, :] * b[0:1, :, :]
-                for j in range(1, c):
-                    acc = acc + a[:, j : j + 1, :] * b[j : j + 1, :, :]
-                return acc
+            else:
+                # Chebyshev-Clenshaw (ops/pallas/logm.py recurrence)
+                t_rows = []
+                for i in range(c):
+                    for j in range(c):
+                        a_ij = row(i, j) * inv_tr
+                        if i == j:
+                            t_rows.append(
+                                (2.0 * a_ij - (hi + lo)) / (hi - lo)
+                            )
+                        else:
+                            t_rows.append(2.0 * a_ij / (hi - lo))
+                t = jnp.concatenate(t_rows, axis=0).reshape(c, c, -1)
 
-            def step(i, carry):
-                b1, b2 = carry
-                ck = coeffs_ref[degree - i]
-                return (ck * eye + 2.0 * matmul(t, b1) - b2, b1)
+                rowi = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+                coli = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+                eye = (rowi == coli).astype(t.dtype)
 
-            zero = t * 0.0  # shares t's vector layout (Mosaic backedge)
-            b1, b2 = jax.lax.fori_loop(0, degree, step, (zero, zero * 1.0))
-            out = coeffs_ref[0] * eye + matmul(t, b1) - b2  # [c, c, L]
+                def matmul(a, b):
+                    acc = a[:, 0:1, :] * b[0:1, :, :]
+                    for j in range(1, c):
+                        acc = acc + a[:, j : j + 1, :] * b[j : j + 1, :, :]
+                    return acc
+
+                def step(i, carry):
+                    b1, b2 = carry
+                    ck = coeffs_ref[degree - i]
+                    return (ck * eye + 2.0 * matmul(t, b1) - b2, b1)
+
+                zero = t * 0.0  # shares t's layout (Mosaic backedge)
+                b1, b2 = jax.lax.fori_loop(
+                    0, degree, step, (zero, zero * 1.0)
+                )
+                out = coeffs_ref[0] * eye + matmul(t, b1) - b2  # [c,c,L]
+
+                def out_entry(i, j):
+                    return out[i : i + 1, j, :]  # [1, L]
 
             # 4. diag correction + weighted triu rows
             logtr = jnp.log(tr2)  # [1, L]
             feats_rows = []
             for i in range(c):
                 for j in range(i, c):
-                    v = out[i : i + 1, j, :]  # [1, L]
+                    v = out_entry(i, j)  # [1, L]
                     if i == j:
                         v = v + logtr
                     else:
@@ -216,7 +272,7 @@ def _fused_kernel(
     jax.jit,
     static_argnames=(
         "c", "nb", "degree", "scale", "alpha", "lo", "hi", "guard_g",
-        "interpret",
+        "logm", "interpret",
     ),
 )
 def _fused_batched(
@@ -233,11 +289,12 @@ def _fused_batched(
     lo: float,
     hi: float,
     guard_g: float | None,
+    logm: str = "chebyshev",
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     rows, m = g_rows.shape
     return pl.pallas_call(
-        _fused_kernel(c, nb, degree, scale, alpha, lo, hi, guard_g),
+        _fused_kernel(c, nb, degree, scale, alpha, lo, hi, guard_g, logm),
         out_shape=(
             jax.ShapeDtypeStruct((rows, m), g_rows.dtype),
             jax.ShapeDtypeStruct((nb, m), g_rows.dtype),
@@ -269,6 +326,7 @@ def fused_whitened_logcov_feature_rows(
     lo: float,
     hi: float,
     guard_g: float | None,
+    logm: str = "chebyshev",
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused feature extraction from band-gram pair rows.
@@ -276,6 +334,10 @@ def fused_whitened_logcov_feature_rows(
     g_rows     [nb*P, B] unscaled gram pairs (bandcov kernel layout)
     tr_scaled  [nb, B]   per-band tr(G) * 2/T^2 (unwhitened trace)
     wwt_pairs  [nb, P]   triu pairs of W_k W_k^T per band
+    logm       "chebyshev": coeffs_tuple holds degree+1 Chebyshev
+               coefficients of log on [lo, hi]; "rational": coeffs_tuple
+               is (c0, p_0..p_{M-1}, v_0..v_{M-1}) of the resolvent sum
+               (models/logcov._rational_log_coeffs)
     Returns (feats_rows [nb*P, B] weighted-triu logm entries,
              flags [nb, B] bool out-of-domain per band).
     """
@@ -297,9 +359,14 @@ def fused_whitened_logcov_feature_rows(
         wwt_pairs.reshape(rows, 1), (rows, _LANES)
     ).astype(g_rows.dtype)
     coeffs = jnp.asarray(coeffs_tuple, dtype=jnp.float32)
+    if logm == "rational":
+        degree = (len(coeffs_tuple) - 1) // 2  # number of resolvent terms
+        assert len(coeffs_tuple) == 1 + 2 * degree
+    else:
+        degree = len(coeffs_tuple) - 1
     feats, flags = _fused_batched(
         g_rows, tr_scaled, wwt_rows, coeffs,
-        c=c, nb=nb, degree=len(coeffs_tuple) - 1, scale=scale, alpha=alpha,
-        lo=lo, hi=hi, guard_g=guard_g, interpret=interpret,
+        c=c, nb=nb, degree=degree, scale=scale, alpha=alpha,
+        lo=lo, hi=hi, guard_g=guard_g, logm=logm, interpret=interpret,
     )
     return feats[:, :b], flags[:, :b] > 0.5

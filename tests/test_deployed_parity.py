@@ -58,6 +58,41 @@ def filtered_trials() -> np.ndarray:
 
 
 @pytest.mark.parametrize("manifest,bound", MANIFESTS)
+def test_shipped_checkpoint_logm_parity(manifest, bound, filtered_trials):
+    """logm defaulted to 'chebyshev' until round 4; the default is now
+    'rational' (the resolvent sum — ~3x faster fused kernel AND ~4x more
+    accurate vs f64 eigh). Pin the flip to the shipped artifacts: both
+    backends must agree in argmax on ALL golden trials, with bounded
+    prob deltas. (On-chip fused-kernel parity measured 2026-08-18:
+    argmax exact on all 179 trials for all three manifests, max dprob
+    2.5e-4 / 8.1e-5 / 1.6e-4.)"""
+    from neural_speech_decoding_tpu.io.params_io import load_params_npz
+    from neural_speech_decoding_tpu.models.registry import get_model
+
+    mpath = REPO_ROOT / manifest
+    if not mpath.is_file():
+        pytest.skip(f"{manifest} not present")
+    x = jnp.asarray(filtered_trials)
+    man = json.loads(mpath.read_text())
+    kw = dict(man["config"].get("model_kw") or {})
+    probs = {}
+    for logm in ("rational", "chebyshev"):
+        spec = get_model(man["model"], **{**kw, "logm": logm})
+        member_probs = []
+        for member in man["members"]:
+            params = load_params_npz(REPO_ROOT / member)
+            logits = jax.jit(lambda p, w: spec.apply(p, w, train=False))(
+                params, x
+            )
+            member_probs.append(np.asarray(jax.nn.softmax(logits, axis=-1)))
+        probs[logm] = np.mean(member_probs, axis=0)
+    np.testing.assert_array_equal(
+        probs["rational"].argmax(1), probs["chebyshev"].argmax(1)
+    )
+    assert float(np.abs(probs["rational"] - probs["chebyshev"]).max()) < bound
+
+
+@pytest.mark.parametrize("manifest,bound", MANIFESTS)
 def test_shipped_checkpoint_filter_precision_parity(manifest, bound):
     """The serving engines default to the FAST filter (round 4): in f32 the
     precision modes differ only in the 8x8 ridge solve (GJ+Newton-Schulz vs

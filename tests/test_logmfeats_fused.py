@@ -43,9 +43,10 @@ def _paths(cfg):
     )
 
 
-def test_features_and_flags_match_stages(fitted, dataset):
+@pytest.mark.parametrize("logm", ["rational", "chebyshev"])
+def test_features_and_flags_match_stages(fitted, dataset, logm):
     cfg, w0 = fitted
-    cfg_st, cfg_kn = _paths(cfg)
+    cfg_st, cfg_kn = _paths(dataclasses.replace(cfg, logm=logm))
     x = np.array(dataset.windows[50:57], np.float32)
     # one railed channel and one near-flatline vs the whitener fitted on
     # clean shipped data — the guard-firing failure classes
@@ -65,9 +66,10 @@ def test_features_and_flags_match_stages(fitted, dataset):
     np.testing.assert_allclose(f_kn, f_st, atol=5e-5 * max(scale, 1.0))
 
 
-def test_gradient_matches_stages_exactly(fitted):
+@pytest.mark.parametrize("logm", ["rational", "chebyshev"])
+def test_gradient_matches_stages_exactly(fitted, logm):
     cfg, w0 = fitted
-    cfg_st, cfg_kn = _paths(cfg)
+    cfg_st, cfg_kn = _paths(dataclasses.replace(cfg, logm=logm))
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((4, 625, 8)).astype(np.float32))
     ct = jnp.asarray(

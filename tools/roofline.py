@@ -82,11 +82,17 @@ def _build_paths(batch: int):
         f = jax.vmap(lambda x: mai_filter(x, fcfg))(w)
         return jax.nn.softmax(decoder_apply(p, f, tcfg), axis=-1)
 
-    # chebyshev_scan, not the default Pallas kernel: the kernel lowers to a
-    # custom call whose flops XLA's cost model cannot see; the scan is the
-    # SAME math in plain XLA ops (degree-320 Clenshaw), so its counts are
-    # the kernel's counts. Throughput measurements still use the kernel.
-    spec = get_model("logcov8", whiten=True, logm="chebyshev_scan")
+    # The flagship row lowers the REAL serving path (fused Pallas kernels
+    # as custom calls): cost_analysis counts the custom calls' HBM
+    # operands/results, which since round 4 IS the kernel's true traffic —
+    # its intermediates (shrinkage, guard, rational logm, triu) never
+    # leave VMEM by construction, and the stages-path proxy used through
+    # round 3 now over-counts bytes ~3.4x (2,147 vs 625 KB/w) because the
+    # XLA stages materialize 16x-padded [B, nb, 8, 8] tensors the kernel
+    # was built to avoid. Its flops are a slight undercount for the same
+    # reason (the in-VMEM GJ pivots are invisible) — stated rather than
+    # hidden.
+    spec = get_model("logcov8", whiten=True)
     manifest = REPO_ROOT / "checkpoints" / "logcov8w_deploy_manifest.json"
     if manifest.is_file():
         from neural_speech_decoding_tpu.io.params_io import load_params_npz
@@ -108,7 +114,9 @@ def _build_paths(batch: int):
     return [
         ("lstm_f32", lstm_f32, lstm_params, 626, V5E_F32_FLOPS),
         ("turbo_bf16", lstm_turbo, lstm_params, 626, V5E_BF16_FLOPS),
-        ("flagship", flagship, logcov_params, 320, V5E_F32_FLOPS),
+        # 12 resolvent poles x 8 GJ pivots of sequential dependency in the
+        # rational logm (was 320 Clenshaw steps before round 4)
+        ("flagship", flagship, logcov_params, 96, V5E_F32_FLOPS),
     ], windows
 
 
