@@ -41,6 +41,11 @@ class FilterConfig:
     # backend supports it (CPU tests; bit-faithfulness target).
     # "fast": float32 end to end (TPU throughput path).
     precision: str = "highest"
+    # "kernel": fast mode on TPU fuses Hilbert + c2/s2 + pair grams into
+    # one Pallas pass (ops/pallas/kuramoto.py) in mai_filter_batch;
+    # "stages" keeps the XLA stages path. Gated to TPU + precision=fast
+    # either way — CPU, f64, and per-window callers always take stages.
+    fused: str = "kernel"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -169,6 +169,26 @@ def _solve_gauss_jordan(a: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return m[:, c:]
 
 
+def _ridge_apply_fast(
+    x_tc: jnp.ndarray,
+    p: jnp.ndarray,
+    lambd_eff,
+    mm=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Fast-mode ridge tail shared by the stages and fused-kernel paths:
+    invert A = I + lambda_eff P^T P (unrolled GJ + one Newton-Schulz
+    refinement, all VPU under vmap) and apply to the window."""
+    c = x_tc.shape[-1]
+    eye = jnp.eye(c, dtype=x_tc.dtype)
+    a = eye + jnp.asarray(lambd_eff, x_tc.dtype) * _mm_tiny(p.T, p)
+    inv = _solve_gauss_jordan(a, eye)
+    # One Newton-Schulz refinement, X <- X (2I - A X): two extra C x C
+    # products per window squash the elimination's f32 rounding so the
+    # fast path holds the <=1e-4 logit budget too.
+    inv = _mm_tiny(inv, 2.0 * eye - _mm_tiny(a, inv))
+    return jnp.matmul(x_tc, inv.T, precision=mm)
+
+
 def mai_filter(
     x_tc: jnp.ndarray,
     config: Optional[FilterConfig] = None,
@@ -222,25 +242,20 @@ def mai_filter(
         # on-device path hold the <=1e-4 logit-fidelity target.
         lambd = lambd / (config.eps * config.eps)
 
-    c = x.shape[-1]
-    eye = jnp.eye(c, dtype=dtype)
-    # All C x C products go through _mm_tiny (VPU broadcast sums): batched
-    # 8x8 dot_generals under vmap pad onto MXU tiles and measured ~9 ms of
-    # the filter's 21.9 ms at B=16384 — see _mm_tiny's docstring.
-    a = eye + jnp.asarray(lambd, dtype) * _mm_tiny(p.T, p)
     # Solve A @ out^T = x^T (reference inverts A explicitly). Fidelity mode
     # keeps the LAPACK-style solve; the fast path uses unrolled pivot-free
-    # Gauss-Jordan, which vectorizes over the batch on the VPU.
+    # Gauss-Jordan, which vectorizes over the batch on the VPU. All C x C
+    # products go through _mm_tiny (VPU broadcast sums): batched 8x8
+    # dot_generals under vmap pad onto MXU tiles and measured ~9 ms of
+    # the filter's 21.9 ms at B=16384 — see _mm_tiny's docstring.
     if config.precision == "fast":
         # invert the tiny system (GJ on [C, 2C]) and apply as one matmul —
         # keeping the T-wide right-hand side out of the elimination steps.
-        inv = _solve_gauss_jordan(a, eye)
-        # One Newton-Schulz refinement, X <- X (2I - A X): two extra C x C
-        # products per window squash the elimination's f32 rounding so the
-        # fast path holds the <=1e-4 logit budget too.
-        inv = _mm_tiny(inv, 2.0 * eye - _mm_tiny(a, inv))
-        out = jnp.matmul(x, inv.T, precision=mm)
+        out = _ridge_apply_fast(x, p, lambd, mm)
     else:
+        c = x.shape[-1]
+        eye = jnp.eye(c, dtype=dtype)
+        a = eye + jnp.asarray(lambd, dtype) * _mm_tiny(p.T, p)
         out = jnp.linalg.solve(a, x.T).T
     return out.astype(jnp.float32)
 
@@ -276,10 +291,49 @@ def kuramoto_spatial_filter(data_ct, lambda_val: float = 1e-25):
     return KuramotoSpatialFilter(lambd=lambda_val).fit_transform(data_ct)
 
 
+def _mai_filter_batch_fused(
+    windows_btc: jnp.ndarray, config: FilterConfig, interpret: bool
+) -> jnp.ndarray:
+    """Fused-kernel batch path: Hilbert + c2/s2 + pair grams in ONE
+    Pallas pass (ops/pallas/kuramoto.py — x is read from HBM once and
+    the analytic signal never materializes), then the shared VPU ridge
+    tail. Exact same math as vmap(mai_filter) in fast mode."""
+    from neural_speech_decoding_tpu.ops.pallas.kuramoto import (
+        kuramoto_pair_sums,
+    )
+
+    x = windows_btc.astype(jnp.float32)
+    t, c = x.shape[1], x.shape[2]
+    gram = kuramoto_pair_sums(x, interpret=interpret)  # [B, C, C]
+    # P = (T - G) / 2 with the diagonal forced to exactly 0 (the
+    # reference's pair loop never writes it — see _operator_from_cs).
+    p = 0.5 * (jnp.asarray(t, jnp.float32) - gram)
+    p = p * (1.0 - jnp.eye(c, dtype=p.dtype))
+    lambd = config.lambd
+    if config.renorm == "diag":
+        # diag(P) == 0 quirk: the renorm is exactly a global 1/eps scale,
+        # folded into lambda (see mai_filter's renorm comment).
+        lambd = lambd / (config.eps * config.eps)
+    out = jax.vmap(lambda w, pw: _ridge_apply_fast(w, pw, lambd))(x, p)
+    return out.astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def mai_filter_batch(
     windows_btc: jnp.ndarray, config: Optional[FilterConfig] = None
 ) -> jnp.ndarray:
-    """vmapped filter over a batch of windows [B, T, C] -> [B, T, C] f32."""
+    """Batched filter [B, T, C] -> [B, T, C] f32 — the serving front
+    door. Fast mode on TPU routes through the fused Pallas operator
+    kernel (config.fused == "kernel", the default); everything else
+    takes the XLA stages path via vmap(mai_filter)."""
+    import os
+
     config = config or FilterConfig()
+    interp = os.environ.get("NSD_FUSED_INTERPRET") == "1"
+    if (
+        config.fused == "kernel"
+        and config.precision == "fast"
+        and (jax.default_backend() == "tpu" or interp)
+    ):
+        return _mai_filter_batch_fused(windows_btc, config, interp)
     return jax.vmap(lambda w: mai_filter(w, config))(windows_btc)

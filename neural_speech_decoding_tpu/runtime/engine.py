@@ -26,7 +26,7 @@ import numpy as np
 from neural_speech_decoding_tpu.config import DecoderConfig, FilterConfig, PipelineConfig
 from neural_speech_decoding_tpu.io.checkpoint import load_decoder_params
 from neural_speech_decoding_tpu.models.lstm import decoder_apply
-from neural_speech_decoding_tpu.ops.kuramoto import mai_filter
+from neural_speech_decoding_tpu.ops.kuramoto import mai_filter_batch
 
 
 def _bucket(n: int) -> int:
@@ -250,14 +250,14 @@ class InferenceEngine(_ServingBase):
         if self._has_aux:
 
             def _pipeline(p, windows_btc: jnp.ndarray):
-                filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
+                filtered = mai_filter_batch(windows_btc, filter_cfg)
                 logits, aux = spec.apply_ex(p, filtered, train=False)
                 return jax.nn.softmax(logits, axis=-1), aux["domain_flags"]
 
         else:
 
             def _pipeline(p, windows_btc: jnp.ndarray) -> jnp.ndarray:
-                filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
+                filtered = mai_filter_batch(windows_btc, filter_cfg)
                 return jax.nn.softmax(apply_fn(p, filtered), axis=-1)
 
         if mesh is not None:

@@ -26,7 +26,7 @@ import numpy as np
 
 from neural_speech_decoding_tpu.config import FilterConfig, PipelineConfig
 from neural_speech_decoding_tpu.models.lstm import decoder_apply
-from neural_speech_decoding_tpu.ops.kuramoto import mai_filter
+from neural_speech_decoding_tpu.ops.kuramoto import mai_filter_batch
 from neural_speech_decoding_tpu.runtime.engine import _ServingBase
 
 
@@ -226,7 +226,7 @@ class EnsembleEngine(_ServingBase):
         if self._has_aux and self._shared_featurize:
 
             def _pipeline(stacked, windows_btc: jnp.ndarray):
-                filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
+                filtered = mai_filter_batch(windows_btc, filter_cfg)
                 # identical whiteners -> identical features and flags for
                 # every member: extract once, vmap only the heads
                 p0 = jax.tree_util.tree_map(lambda leaf: leaf[0], stacked)
@@ -240,7 +240,7 @@ class EnsembleEngine(_ServingBase):
         elif self._has_aux:
 
             def _pipeline(stacked, windows_btc: jnp.ndarray):
-                filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
+                filtered = mai_filter_batch(windows_btc, filter_cfg)
                 logits, aux = jax.vmap(
                     lambda p, x: spec.apply_ex(p, x, train=False),
                     in_axes=(0, None),
@@ -253,7 +253,7 @@ class EnsembleEngine(_ServingBase):
         else:
 
             def _pipeline(stacked, windows_btc: jnp.ndarray) -> jnp.ndarray:
-                filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(windows_btc)
+                filtered = mai_filter_batch(windows_btc, filter_cfg)
                 logits = jax.vmap(apply_fn, in_axes=(0, None))(stacked, filtered)
                 return _combine_soft(jax.nn.softmax(logits, axis=-1), combine)
 
@@ -378,9 +378,7 @@ class EnsembleEngine(_ServingBase):
         has_aux_any = self._has_aux
 
         def _pipeline(group_params, windows_btc: jnp.ndarray):
-            filtered = jax.vmap(lambda w: mai_filter(w, filter_cfg))(
-                windows_btc
-            )
+            filtered = mai_filter_batch(windows_btc, filter_cfg)
             softs = []  # per-group [k, B, C] member softmaxes
             flags = None
             # static Python loop over families: traced once, each group's

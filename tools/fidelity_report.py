@@ -75,7 +75,10 @@ def main() -> None:
     from neural_speech_decoding_tpu.io.checkpoint import load_decoder_params
     from neural_speech_decoding_tpu.io.dataset import load_trials
     from neural_speech_decoding_tpu.models.lstm import decoder_apply
-    from neural_speech_decoding_tpu.ops.kuramoto import mai_filter
+    from neural_speech_decoding_tpu.ops.kuramoto import (
+        mai_filter,
+        mai_filter_batch,
+    )
 
     ds = load_trials()
     if args.write_filtered:
@@ -126,9 +129,9 @@ def main() -> None:
         header += f" {'filt max|d|':>12s} {'model-only |dlogit|':>20s}"
     print(header)
     for name, fcfg, dcfg in modes:
-        filt = jax.jit(
-            lambda w, fcfg=fcfg: jax.vmap(lambda a: mai_filter(a, fcfg))(w)
-        )
+        # the serving front door: fast mode on TPU routes through the
+        # fused Pallas operator kernel, exactly like the engines
+        filt = jax.jit(lambda w, fcfg=fcfg: mai_filter_batch(w, fcfg))
         model = jax.jit(
             lambda p, f, dcfg=dcfg: decoder_apply(p, f, dcfg)
         )

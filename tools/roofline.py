@@ -57,7 +57,7 @@ def _build_paths(batch: int):
     from neural_speech_decoding_tpu.io.checkpoint import load_decoder_params
     from neural_speech_decoding_tpu.models.lstm import decoder_apply
     from neural_speech_decoding_tpu.models.registry import get_model
-    from neural_speech_decoding_tpu.ops.kuramoto import mai_filter
+    from neural_speech_decoding_tpu.ops.kuramoto import mai_filter_batch
 
     fcfg = FilterConfig(precision="fast")
     dcfg = DecoderConfig()
@@ -75,11 +75,11 @@ def _build_paths(batch: int):
         lstm_params = init_decoder_params(jax.random.PRNGKey(0), dcfg)
 
     def lstm_f32(p, w):
-        f = jax.vmap(lambda x: mai_filter(x, fcfg))(w)
+        f = mai_filter_batch(w, fcfg)
         return jax.nn.softmax(decoder_apply(p, f, dcfg), axis=-1)
 
     def lstm_turbo(p, w):
-        f = jax.vmap(lambda x: mai_filter(x, fcfg))(w)
+        f = mai_filter_batch(w, fcfg)
         return jax.nn.softmax(decoder_apply(p, f, tcfg), axis=-1)
 
     # The flagship row lowers the REAL serving path (fused Pallas kernels
@@ -105,7 +105,7 @@ def _build_paths(batch: int):
         logcov_params = spec.fit(spec.init(jax.random.PRNGKey(0)), fitx)
 
     def flagship(p, w):
-        f = jax.vmap(lambda x: mai_filter(x, fcfg))(w)
+        f = mai_filter_batch(w, fcfg)
         logits, _ = spec.apply_ex(p, f, train=False)
         return jax.nn.softmax(logits, axis=-1)
 
