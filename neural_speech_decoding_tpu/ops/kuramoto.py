@@ -32,6 +32,7 @@ does not downcast to bf16. `precision="fast"` is the throughput path.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -50,6 +51,35 @@ def _wide_dtype(precision: str) -> jnp.dtype:
     if precision == "highest" and jax.config.read("jax_enable_x64"):
         return jnp.float64
     return jnp.float32
+
+
+def _effective_lambda(config: FilterConfig, lambd: Optional[float] = None) -> float:
+    """Tailoring lambda with the reference's diag-renorm quirk folded in.
+
+    Reference renorm: P /= outer(d, d), d = sqrt(clip(diag(P), eps)). The
+    operator's diagonal is identically zero (the reference pair loop never
+    writes it, MindsAI mindsai_filter_python/core.py:18-31), so the clip
+    always lands on eps and the whole renorm is exactly a global multiply
+    by 1/eps. Folding that scale into lambda — lambda_eff = lambda / eps^2
+    — keeps P^T P at O(T^2) instead of ~1e24, which is what lets the f32
+    on-device path hold the <=1e-4 logit-fidelity target. Shared by the
+    stages and fused-kernel paths so the quirk cannot drift between them.
+    """
+    if lambd is None:
+        lambd = config.lambd
+    if config.renorm == "diag":
+        lambd = lambd / (config.eps * config.eps)
+    return lambd
+
+
+def _operator_from_gram(gram: jnp.ndarray, t: int) -> jnp.ndarray:
+    """Pair-desynchrony operator from gram sums G[..., C, C]:
+    P = (T - G) / 2 with the diagonal forced to exactly 0 (the reference's
+    pair loop never writes it — same convention as _operator_from_cs).
+    Shared by the stages and fused-kernel batch paths."""
+    c = gram.shape[-1]
+    p = 0.5 * (jnp.asarray(t, gram.dtype) - gram)
+    return p * (1.0 - jnp.eye(c, dtype=p.dtype))
 
 
 def kuramoto_operator(
@@ -231,16 +261,8 @@ def mai_filter(
         # fused into the batch matmul.
         re, im = analytic_signal_matmul(x, precision=jax.lax.Precision.HIGHEST)
     p = kuramoto_operator_from_parts(re, im, matmul_precision=mm)
-    if config.renorm == "diag":
-        # Reference renorm: P /= outer(d, d), d = sqrt(clip(diag(P), eps)).
-        # The operator's diagonal is identically zero (the pair loop never
-        # writes it), so the clip always lands on eps and the whole renorm
-        # is exactly a global multiply by 1/eps (reference: MindsAI
-        # mindsai_filter_python/core.py:27-31 with diag(P) == 0). Folding
-        # that scale into lambda — lambda_eff = lambda / eps^2 — keeps
-        # P^T P at O(T^2) instead of ~1e24, which is what lets the f32
-        # on-device path hold the <=1e-4 logit-fidelity target.
-        lambd = lambd / (config.eps * config.eps)
+    # renorm quirk folded into lambda (see _effective_lambda).
+    lambd = _effective_lambda(config, lambd)
 
     # Solve A @ out^T = x^T (reference inverts A explicitly). Fidelity mode
     # keeps the LAPACK-style solve; the fast path uses unrolled pivot-free
@@ -303,37 +325,72 @@ def _mai_filter_batch_fused(
     )
 
     x = windows_btc.astype(jnp.float32)
-    t, c = x.shape[1], x.shape[2]
+    t = x.shape[1]
     gram = kuramoto_pair_sums(x, interpret=interpret)  # [B, C, C]
-    # P = (T - G) / 2 with the diagonal forced to exactly 0 (the
-    # reference's pair loop never writes it — see _operator_from_cs).
-    p = 0.5 * (jnp.asarray(t, jnp.float32) - gram)
-    p = p * (1.0 - jnp.eye(c, dtype=p.dtype))
-    lambd = config.lambd
-    if config.renorm == "diag":
-        # diag(P) == 0 quirk: the renorm is exactly a global 1/eps scale,
-        # folded into lambda (see mai_filter's renorm comment).
-        lambd = lambd / (config.eps * config.eps)
+    p = _operator_from_gram(gram, t)
+    # renorm quirk folded into lambda (see _effective_lambda).
+    lambd = _effective_lambda(config)
     out = jax.vmap(lambda w, pw: _ridge_apply_fast(w, pw, lambd))(x, p)
     return out.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "interpret"))
+def _mai_filter_batch_impl(
+    windows_btc: jnp.ndarray, config: FilterConfig, interpret: bool
+) -> jnp.ndarray:
+    if (
+        config.fused == "kernel"
+        and config.precision == "fast"
+        and (jax.default_backend() == "tpu" or interpret)
+    ):
+        return _mai_filter_batch_fused(windows_btc, config, interpret)
+    return jax.vmap(lambda w: mai_filter(w, config))(windows_btc)
+
+
 def mai_filter_batch(
     windows_btc: jnp.ndarray, config: Optional[FilterConfig] = None
 ) -> jnp.ndarray:
     """Batched filter [B, T, C] -> [B, T, C] f32 — the serving front
     door. Fast mode on TPU routes through the fused Pallas operator
     kernel (config.fused == "kernel", the default); everything else
-    takes the XLA stages path via vmap(mai_filter)."""
-    import os
+    takes the XLA stages path via vmap(mai_filter).
 
+    The NSD_FUSED_INTERPRET escape hatch (tests/profiling off-TPU) is
+    read HERE, outside the jit, and passed down as a static argument so
+    it participates in the jit cache key — toggling the env var after an
+    earlier trace at the same (shape, config) gets a fresh trace instead
+    of silently reusing the stale route. Callers that close over this
+    function in their own jit capture the value at their trace time."""
     config = config or FilterConfig()
     interp = os.environ.get("NSD_FUSED_INTERPRET") == "1"
-    if (
-        config.fused == "kernel"
-        and config.precision == "fast"
-        and (jax.default_backend() == "tpu" or interp)
-    ):
-        return _mai_filter_batch_fused(windows_btc, config, interp)
-    return jax.vmap(lambda w: mai_filter(w, config))(windows_btc)
+    return _mai_filter_batch_impl(windows_btc, config, interp)
+
+
+def mai_filter_batch_sharded(
+    windows_btc: jnp.ndarray,
+    config: Optional[FilterConfig] = None,
+    *,
+    mesh,
+    axis: str = "dp",
+) -> jnp.ndarray:
+    """Batched filter over a device mesh: shard_map over the batch axis.
+
+    The fused route's Mosaic custom call cannot be auto-partitioned by
+    GSPMD — under a plain jit with dp-sharded inputs the compiler would
+    have to all-gather the full batch onto every chip (or fail to
+    partition). The filter is embarrassingly batch-parallel, so each
+    device runs the (kernel or stages) pipeline on its local shard; the
+    per-device batch is padded to the kernel's lane multiple internally.
+    This is the route the serving engines take when built with a mesh."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    config = config or FilterConfig()
+    spec = P(axis, None, None)
+    return shard_map(
+        lambda w: mai_filter_batch(w, config),
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=spec,
+        check_vma=False,
+    )(windows_btc)

@@ -29,6 +29,15 @@ stages path in ops/kuramoto.py.
 Not differentiable (no VJP): the filter is serving/preprocessing only —
 training applies it as a host-side precompute (train/loop.py) and never
 differentiates through it.
+
+Accumulation precision: each pair sum is a plain f32 jnp.sum over T=625
+terms of O(1) products — expected error ~sqrt(T)*ulp ~ 1e-5 relative,
+measured 4.2e-5 end-to-end dlogit on chip vs the <=1e-4 budget
+(checkpoints/fidelity_r4_filter.json). The stages path's HIGHEST-dot
+gram is tighter (exact bf16-split partial products), so the kernel has
+less headroom and the residual grows ~sqrt(T): if T ever grows by more
+than ~4x, switch the pair reduce to a compensated (TwoSum) accumulation
+before trusting the budget.
 """
 
 from __future__ import annotations

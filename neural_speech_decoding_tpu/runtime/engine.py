@@ -261,12 +261,25 @@ class InferenceEngine(_ServingBase):
                 return jax.nn.softmax(apply_fn(p, filtered), axis=-1)
 
         if mesh is not None:
-            from neural_speech_decoding_tpu.parallel.sharding import (
-                batch_sharding,
-            )
+            # shard_map over 'dp', params replicated: the pipeline is
+            # embarrassingly batch-parallel, and its Pallas routes (the
+            # fused filter kernel and logcov's fused feats kernel) are
+            # Mosaic custom calls GSPMD cannot auto-partition — under a
+            # plain sharded jit they would force a full-batch all-gather
+            # per chip (or fail to partition). Each device runs the whole
+            # pipeline on its local batch shard instead.
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
 
+            out_specs = (P("dp"), P("dp")) if self._has_aux else P("dp")
             self._pipeline = jax.jit(
-                _pipeline, in_shardings=(None, batch_sharding(mesh))
+                shard_map(
+                    _pipeline,
+                    mesh=mesh,
+                    in_specs=(P(), P("dp", None, None)),
+                    out_specs=out_specs,
+                    check_vma=False,
+                )
             )
         else:
             self._pipeline = jax.jit(_pipeline)

@@ -223,10 +223,28 @@ class EnsembleEngine(_ServingBase):
         else:
             apply_fn = lambda p, x: spec.apply(p, x, train=False)  # noqa: E731
 
+        # Pallas-route mesh handling (rationale in InferenceEngine): with
+        # params replicated the WHOLE pipeline shard_maps over 'dp' below;
+        # with member-sharded params (shard_members) the member axis must
+        # stay under GSPMD, so only the filter is shard_map'd over 'dp' —
+        # logcov's fused feats kernel is then still at risk on a real
+        # multi-chip mesh; serve member-sharded covariance ensembles with
+        # LogCovConfig(fused="stages") there.
+        if mesh is not None and shard_members:
+            from neural_speech_decoding_tpu.ops.kuramoto import (
+                mai_filter_batch_sharded,
+            )
+
+            _filt = lambda w: mai_filter_batch_sharded(  # noqa: E731
+                w, filter_cfg, mesh=mesh
+            )
+        else:
+            _filt = lambda w: mai_filter_batch(w, filter_cfg)  # noqa: E731
+
         if self._has_aux and self._shared_featurize:
 
             def _pipeline(stacked, windows_btc: jnp.ndarray):
-                filtered = mai_filter_batch(windows_btc, filter_cfg)
+                filtered = _filt(windows_btc)
                 # identical whiteners -> identical features and flags for
                 # every member: extract once, vmap only the heads
                 p0 = jax.tree_util.tree_map(lambda leaf: leaf[0], stacked)
@@ -240,7 +258,7 @@ class EnsembleEngine(_ServingBase):
         elif self._has_aux:
 
             def _pipeline(stacked, windows_btc: jnp.ndarray):
-                filtered = mai_filter_batch(windows_btc, filter_cfg)
+                filtered = _filt(windows_btc)
                 logits, aux = jax.vmap(
                     lambda p, x: spec.apply_ex(p, x, train=False),
                     in_axes=(0, None),
@@ -253,11 +271,27 @@ class EnsembleEngine(_ServingBase):
         else:
 
             def _pipeline(stacked, windows_btc: jnp.ndarray) -> jnp.ndarray:
-                filtered = mai_filter_batch(windows_btc, filter_cfg)
+                filtered = _filt(windows_btc)
                 logits = jax.vmap(apply_fn, in_axes=(0, None))(stacked, filtered)
                 return _combine_soft(jax.nn.softmax(logits, axis=-1), combine)
 
-        if mesh is not None:
+        if mesh is not None and not shard_members:
+            # replicated members: whole-pipeline shard_map over 'dp' so
+            # the Pallas routes run per-shard (see the note above)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            out_specs = (P("dp"), P("dp")) if self._has_aux else P("dp")
+            self._pipeline = jax.jit(
+                shard_map(
+                    _pipeline,
+                    mesh=mesh,
+                    in_specs=(P(), P("dp", None, None)),
+                    out_specs=out_specs,
+                    check_vma=False,
+                )
+            )
+        elif mesh is not None:
             from neural_speech_decoding_tpu.parallel.sharding import (
                 batch_sharding,
             )
@@ -416,12 +450,21 @@ class EnsembleEngine(_ServingBase):
             return probs
 
         if mesh is not None:
-            from neural_speech_decoding_tpu.parallel.sharding import (
-                batch_sharding,
-            )
+            # mixed-family members are always replicated: whole-pipeline
+            # shard_map over 'dp' (Pallas routes run per-shard — see the
+            # single-family __init__)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
 
+            out_specs = (P("dp"), P("dp")) if has_aux_any else P("dp")
             self._pipeline = jax.jit(
-                _pipeline, in_shardings=(None, batch_sharding(mesh))
+                shard_map(
+                    _pipeline,
+                    mesh=mesh,
+                    in_specs=(P(), P("dp", None, None)),
+                    out_specs=out_specs,
+                    check_vma=False,
+                )
             )
         else:
             self._pipeline = jax.jit(_pipeline)

@@ -72,6 +72,27 @@ def golden(checkpoint_path) -> dict:
 
 @pytest.fixture(scope="session")
 def dataset(data_dir):
+    """The 179 production trials (3-class prefixes) — what the shipped
+    checkpoint was trained on; training/CV tests use this."""
     from neural_speech_decoding_tpu.io.dataset import load_trials
 
     return load_trials(data_dir)
+
+
+@pytest.fixture(scope="session")
+def dataset_all(data_dir):
+    """All 324 shipped trials (5-class prefixes) — the BASELINE.md
+    fidelity universe; the golden fixtures are generated over this set
+    (fidelity is label-free, so yes/no trials count as test vectors)."""
+    from neural_speech_decoding_tpu.config import FIVE_CLASS_PREFIXES
+    from neural_speech_decoding_tpu.io.dataset import load_trials
+
+    return load_trials(data_dir, class_prefixes=FIVE_CLASS_PREFIXES)
+
+
+def golden_rows(golden: dict, files) -> "np.ndarray":
+    """Row indices of `files` inside a golden dump (the golden fixtures
+    cover all 324 trials; tests pairing them with the 179-trial `dataset`
+    must match by filename, not by position)."""
+    index = {f: i for i, f in enumerate(golden["files"])}
+    return np.asarray([index[f] for f in files])

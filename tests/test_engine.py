@@ -31,9 +31,12 @@ def test_padded_batch_matches_exact(engine, dataset):
 
 
 def test_predict_single_contract(engine, dataset, golden):
+    from conftest import golden_rows
+
     probs, label = engine.predict(dataset.windows[0])
     assert probs.dtype == np.float32
-    np.testing.assert_allclose(probs, golden["probs"][0], atol=1e-4)
+    row = golden_rows(golden, dataset.files[:1])[0]
+    np.testing.assert_allclose(probs, golden["probs"][row], atol=1e-4)
     assert label in engine.class_names
 
 

@@ -56,7 +56,10 @@ def test_roundtrip_preserves_reference_behavior(tmp_path, checkpoint_path, datas
     a = np.asarray(decoder_logits(params, filtered))
     b = np.asarray(decoder_logits(params2, filtered))
     np.testing.assert_array_equal(a, b)
-    np.testing.assert_allclose(a, golden["logits"][:8], atol=1e-4)
+    from conftest import golden_rows
+
+    rows = golden_rows(golden, dataset.files[:8])
+    np.testing.assert_allclose(a, golden["logits"][rows], atol=1e-4)
 
 
 def test_torch_model_accepts_export(tmp_path, checkpoint_path):

@@ -74,6 +74,29 @@ def test_fused_batch_matches_stages_fast_mode():
 
 
 @pytest.mark.slow
+def test_fused_kernel_sharded_dp_mesh(monkeypatch):
+    """The engines' mesh route (shard_map over 'dp',
+    mai_filter_batch_sharded) must run the fused kernel per-shard and match
+    the stages path — interpret mode pins the composition off-TPU (a Mosaic
+    custom call cannot be auto-partitioned by GSPMD; r4 advisor finding)."""
+    monkeypatch.setenv("NSD_FUSED_INTERPRET", "1")
+    from neural_speech_decoding_tpu.parallel.mesh import make_mesh
+    from neural_speech_decoding_tpu.parallel.sharding import batch_sharding
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2 * mesh.shape["dp"], T, C)).astype(np.float32)
+    cfg_k = FilterConfig(precision="fast", fused="kernel")
+    cfg_s = FilterConfig(precision="fast", fused="stages")
+    xd = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+    got = np.asarray(
+        jax.jit(lambda w: ku.mai_filter_batch_sharded(w, cfg_k, mesh=mesh))(xd)
+    )
+    ref = np.asarray(ku.mai_filter_batch(jnp.asarray(x), cfg_s))
+    np.testing.assert_allclose(got, ref, atol=2e-4 * np.abs(ref).max())
+
+
+@pytest.mark.slow
 def test_batch_front_door_dispatch(monkeypatch):
     # with the interpret escape hatch set, the front door takes the
     # fused path; fused="stages" must keep the stages path bit-exact

@@ -19,8 +19,13 @@ def params(checkpoint_path):
     return load_decoder_params(checkpoint_path)
 
 
-def test_logits_golden_all_trials(params, dataset, golden):
+def test_logits_golden_all_trials(params, dataset_all, golden):
+    """BASELINE.md: <=1e-4 logit delta on ALL 324 EEG_data_collection
+    trials (the yes/no windows are 145 extra real-signal vectors even
+    though the shipped checkpoint is 3-class — fidelity is label-free)."""
+    dataset = dataset_all
     assert list(golden["files"]) == list(dataset.files)
+    assert len(dataset) == 324 or len(dataset) == len(golden["files"])
     filtered = np.asarray(mai_filter_batch(dataset.windows, FilterConfig()))
     logits = np.asarray(
         jax.jit(lambda x: decoder_logits(params, x, DecoderConfig()))(filtered)

@@ -201,12 +201,15 @@ def test_utilities_compat_import(dataset, checkpoint_path, shared_engine):
 def test_simple_predictor_compat(dataset, checkpoint_path, golden):
     from Utilities.lstm_eeg_model import SimplePredictor
 
+    from conftest import golden_rows
+
     pred = SimplePredictor(pth_path=str(checkpoint_path), sr=125)
     probs, label = pred.predict(dataset.windows[0])
     assert probs.shape == (3,)
     assert probs.dtype == np.float32
-    np.testing.assert_allclose(probs, golden["probs"][0], atol=1e-4)
-    assert label == ("Food", "Water", "BG-Noise")[int(golden["probs"][0].argmax())]
+    row = golden_rows(golden, dataset.files[:1])[0]
+    np.testing.assert_allclose(probs, golden["probs"][row], atol=1e-4)
+    assert label == ("Food", "Water", "BG-Noise")[int(golden["probs"][row].argmax())]
 
 
 def test_replay_board_from_npy(tmp_path, dataset):

@@ -71,7 +71,11 @@ def main() -> None:
 
     import numpy as np
 
-    from neural_speech_decoding_tpu.config import DecoderConfig, FilterConfig
+    from neural_speech_decoding_tpu.config import (
+        FIVE_CLASS_PREFIXES,
+        DecoderConfig,
+        FilterConfig,
+    )
     from neural_speech_decoding_tpu.io.checkpoint import load_decoder_params
     from neural_speech_decoding_tpu.io.dataset import load_trials
     from neural_speech_decoding_tpu.models.lstm import decoder_apply
@@ -80,7 +84,9 @@ def main() -> None:
         mai_filter_batch,
     )
 
-    ds = load_trials()
+    # all 324 shipped trials (BASELINE.md fidelity universe) — fidelity is
+    # label-free, so the yes/no trials are real-signal vectors too
+    ds = load_trials(class_prefixes=FIVE_CLASS_PREFIXES)
     if args.write_filtered:
         write_filtered(ds)
         return

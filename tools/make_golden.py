@@ -6,6 +6,12 @@ every trial CSV, and stores logits + probabilities to
 tests/golden/reference_probs.npz. The fidelity tests compare our JAX
 pipeline against this dump (target: <=1e-4 logit delta; SURVEY.md §6).
 
+Covers ALL 324 shipped trials by default (BASELINE.md names all of
+EEG_data_collection): fidelity is label-free, so the yes/no trials are
+145 extra real-signal test vectors even though the shipped checkpoint is
+3-class. `labels` are 5-class prefix indices (config.FIVE_CLASS_PREFIXES);
+the reported "reference accuracy" is meaningful only for --classes three.
+
 This is an independent re-implementation of the published behavior
 (reference: MindsAI/mindsai_filter_python/core.py, lstm_eeg_model.py), used
 only to produce test fixtures. Requires torch (available in the dev image),
@@ -80,15 +86,29 @@ def build_torch_model(ckpt_path: str):
 
 
 def main() -> None:
+    from neural_speech_decoding_tpu.config import (
+        FIVE_CLASS_PREFIXES,
+        THREE_CLASS_PREFIXES,
+    )
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--ckpt", default=DEFAULT_CKPT)
     ap.add_argument("--out", default=str(REPO_ROOT / "tests/golden/reference_probs.npz"))
+    ap.add_argument(
+        "--classes", choices=("three", "five"), default="five",
+        help="trial prefixes to include: 'five' = all 324 shipped trials "
+             "(the BASELINE.md fidelity universe), 'three' = the 179 the "
+             "production model was trained on",
+    )
     args = ap.parse_args()
 
     import torch
 
-    ds = load_trials(args.data_dir)
+    prefixes = (
+        FIVE_CLASS_PREFIXES if args.classes == "five" else THREE_CLASS_PREFIXES
+    )
+    ds = load_trials(args.data_dir, class_prefixes=prefixes)
     model = build_torch_model(args.ckpt)
 
     filtered = np.stack([reference_mai_filter(w) for w in ds.windows])
