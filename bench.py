@@ -128,7 +128,7 @@ def tpu_windows_per_sec(
     from neural_speech_decoding_tpu.config import DecoderConfig, FilterConfig
     from neural_speech_decoding_tpu.io.checkpoint import load_decoder_params
     from neural_speech_decoding_tpu.models.lstm import decoder_apply
-    from neural_speech_decoding_tpu.ops.kuramoto import mai_filter
+    from neural_speech_decoding_tpu.ops.kuramoto import mai_filter_batch
 
     device_kind = jax.devices()[0].device_kind
     params = jax.device_put(load_decoder_params(CKPT))
@@ -138,12 +138,12 @@ def tpu_windows_per_sec(
 
     @jax.jit
     def pipeline(p, w):
-        filtered = jax.vmap(lambda x: mai_filter(x, filter_cfg))(w)
+        filtered = mai_filter_batch(w, filter_cfg)
         return jax.nn.softmax(decoder_apply(p, filtered, decoder_cfg), axis=-1)
 
     @jax.jit
     def pipeline_turbo(p, w):
-        filtered = jax.vmap(lambda x: mai_filter(x, filter_cfg))(w)
+        filtered = mai_filter_batch(w, filter_cfg)
         return jax.nn.softmax(decoder_apply(p, filtered, turbo_cfg), axis=-1)
 
     reps = int(np.ceil(TPU_BATCH / windows.shape[0]))
@@ -198,7 +198,7 @@ def tpu_windows_per_sec(
 
     def _chain_body(_, carry):
         w_i, acc = carry
-        filtered = jax.vmap(lambda x: mai_filter(x, filter_cfg))(w_i)
+        filtered = mai_filter_batch(w_i, filter_cfg)
         probs = jax.nn.softmax(decoder_apply(params, filtered, decoder_cfg), -1)
         w_next = w_i + probs[0, 0].astype(w_i.dtype) * 1e-30
         return (w_next, acc + probs)
@@ -232,7 +232,9 @@ def mesh_windows_per_sec(windows: np.ndarray) -> tuple[float, int, str]:
     from neural_speech_decoding_tpu.config import DecoderConfig, FilterConfig
     from neural_speech_decoding_tpu.io.checkpoint import load_decoder_params
     from neural_speech_decoding_tpu.models.lstm import decoder_apply
-    from neural_speech_decoding_tpu.ops.kuramoto import mai_filter
+    from neural_speech_decoding_tpu.ops.kuramoto import (
+        mai_filter_batch_sharded,
+    )
     from neural_speech_decoding_tpu.parallel.mesh import make_mesh
     from neural_speech_decoding_tpu.parallel.sharding import (
         batch_sharding,
@@ -248,7 +250,9 @@ def mesh_windows_per_sec(windows: np.ndarray) -> tuple[float, int, str]:
 
     @jax.jit
     def pipeline(p, w):
-        filtered = jax.vmap(lambda x: mai_filter(x, filter_cfg))(w)
+        # shard_map'd filter: the fused Pallas route cannot be
+        # auto-partitioned by GSPMD (see ops/kuramoto.py)
+        filtered = mai_filter_batch_sharded(w, filter_cfg, mesh=mesh)
         return jax.nn.softmax(decoder_apply(p, filtered, decoder_cfg), axis=-1)
 
     batch_size = TPU_BATCH * dp

@@ -87,6 +87,15 @@ class DecoderConfig:
     # Training always runs per-layer (inter-layer dropout needs the
     # boundary); False restores the per-layer eval scan.
     fused_scan: bool = True
+    # Streaming eval scan (models/lstm.py:_lstm_two_layer_streaming): the
+    # input projection folds into the fused per-step matmul (K = 2H + C =
+    # 104 rides the same 128-wide MXU tile) and attention pooling runs
+    # online in the carry, so neither the [T, B, 4H] input projection nor
+    # the [T, B, H] outputs ever stream through HBM — those were ~40% of
+    # the eval path's HBM bytes (checkpoints/roofline_r4.json). Same math
+    # as the fused scan up to fp summation order. Applies when fused_scan
+    # is on; False restores the materializing fused scan.
+    streaming_scan: bool = True
     # lax.scan unroll factor for the per-layer recurrence (the training
     # path): >1 trades HLO size for fewer loop trips. Must divide T.
     scan_unroll: int = 1

@@ -258,6 +258,135 @@ def _lstm_two_layer_fused(
     return jnp.transpose(hs[1:], (1, 0, 2)).astype(jnp.float32)  # [B, T, H]
 
 
+def _lstm_two_layer_streaming(
+    params: Params,
+    x_btc: jnp.ndarray,
+    precision,
+    recurrence_dtype=jnp.float32,
+    gate_math: str = "rational",
+) -> jnp.ndarray:
+    """Both LSTM layers + attention pooling in ONE pipelined scan with no
+    [T, B, ·] intermediate in HBM. [B, T, C] -> pooled [B, H] (f32).
+
+    The fused scan (_lstm_two_layer_fused) still streams two large
+    buffers through HBM per batch: the hoisted input projection
+    xp [T, B, 4H] (written once, then read 4H/C = 24x the input's bytes
+    per step) and the layer-2 outputs hs [T, B, H] (written per step,
+    re-read by the attention head). Per XLA's own cost model those are
+    ~40% of the path's 2.3 MB/window of traffic (tools/roofline.py,
+    checkpoints/roofline_r4.json). This variant eliminates both:
+
+    * the input projection folds INTO the fused recurrent matmul — the
+      per-step contraction becomes [B, 2H+C] x [2H+C, 8H] with
+      K = 104, riding the same 128-wide MXU tile as the K=96 fused form
+      (one K=104 dot instead of a K=96 dot plus a hoisted K=C einsum;
+      rounding differs by ~1 ulp, same class of reordering as the fused
+      scan's layer-2 projection), so each step reads x_t [B, C] from HBM
+      instead of xp_t [B, 4H];
+    * attention pooling runs ONLINE in the carry (flash-attention-style
+      streaming softmax): per step the layer-2 output contributes
+      score s_t = h2_t . w_attn + b, and (m, l, acc) carry the running
+      max, exp-sum, and exp-weighted h2 sum. pooled = acc / l equals the
+      two-pass softmax-weighted sum up to summation order, and hs never
+      materializes.
+
+    Pipelining and gate math are identical to _lstm_two_layer_fused:
+    layer 2 consumes layer 1's previous step from the carry, the scan
+    runs T+1 steps with layer 2 masked at s=0, and one rational-tanh
+    pass covers all four gates of both layers (weights pre-scaled by
+    sigmoid_fold_mask — which now also covers the folded W_ih1, scaling
+    the x contribution identically). The pooling accumulators stay f32
+    even in the bf16 turbo mode. Eval-path only (training needs
+    inter-layer dropout and the per-step outputs).
+    """
+    l1, l2 = params["lstm"]
+    b, t, c = x_btc.shape
+    h_dim = l1["w_hh"].shape[0]
+
+    x_tbc = jnp.transpose(x_btc, (1, 0, 2)).astype(recurrence_dtype)
+    # one trailing zero step so layer 2 can drain the pipeline
+    x_tbc = jnp.concatenate(
+        [x_tbc, jnp.zeros((1, b, c), recurrence_dtype)], axis=0
+    )
+    b1 = l1["b"].astype(recurrence_dtype)
+    b2 = l2["b"].astype(recurrence_dtype)
+
+    zblock = jnp.zeros((h_dim, 4 * h_dim), l2["w_hh"].dtype)
+    w = jnp.concatenate(
+        [
+            jnp.concatenate([l1["w_hh"], l2["w_ih"]], axis=1),
+            jnp.concatenate([zblock, l2["w_hh"]], axis=1),
+            jnp.concatenate(
+                [l1["w_ih"], jnp.zeros((c, 4 * h_dim), l1["w_ih"].dtype)],
+                axis=1,
+            ),
+        ],
+        axis=0,
+    ).astype(recurrence_dtype)  # [2H + C, 8H]
+
+    if gate_math == "rational":
+        half_sig = gates_ops.sigmoid_fold_mask(h_dim, recurrence_dtype)
+        w = w * jnp.concatenate([half_sig, half_sig])[None, :]
+        b1 = b1 * half_sig
+        b2 = b2 * half_sig
+
+    attn_w = params["attn"]["w"].astype(jnp.float32)
+    attn_b = params["attn"]["b"].astype(jnp.float32)
+
+    # layer 2 has nothing to consume at combined step 0
+    live2 = jnp.arange(t + 1) >= 1
+
+    def step(carry, inp):
+        h1, c1, h2, c2, m, l, acc = carry
+        x_t, v2 = inp
+        hh = jnp.matmul(
+            jnp.concatenate([h1, h2, x_t], axis=-1), w, precision=precision
+        )
+        i1, f1, g1, o1 = gates_ops.lstm_gate_block(
+            hh[:, : 4 * h_dim] + b1, h_dim, gate_math
+        )
+        c1_new = f1 * c1 + i1 * g1
+        h1_new = o1 * gates_ops.cell_tanh(c1_new, gate_math)
+        i2, f2, g2, o2 = gates_ops.lstm_gate_block(
+            hh[:, 4 * h_dim :] + b2, h_dim, gate_math
+        )
+        c2_new = jnp.where(v2, f2 * c2 + i2 * g2, c2)
+        h2_new = jnp.where(
+            v2, o2 * gates_ops.cell_tanh(c2_new, gate_math), h2
+        )
+        # online softmax pooling over the live layer-2 outputs (f32)
+        h2f = h2_new.astype(jnp.float32)
+        s_t = (
+            jnp.matmul(h2f, attn_w[:, None], precision=precision)[:, 0]
+            + attn_b
+        )
+        m_new = jnp.where(v2, jnp.maximum(m, s_t), m)
+        # masked steps make m - m_new = -inf - -inf = NaN inside exp;
+        # the jnp.where on the carry discards it (select, not multiply)
+        alpha = jnp.exp(m - m_new)
+        wgt = jnp.exp(s_t - m_new)
+        l_new = jnp.where(v2, l * alpha + wgt, l)
+        acc_new = jnp.where(v2, acc * alpha[:, None] + wgt[:, None] * h2f, acc)
+        return (h1_new, c1_new, h2_new, c2_new, m_new, l_new, acc_new), None
+
+    zero = (
+        jnp.zeros((b, h_dim), recurrence_dtype)
+        + (x_btc[:, :1, 0] * 0.0).astype(recurrence_dtype)
+    )
+    zf = zero.astype(jnp.float32)
+    init = (
+        zero,
+        zero,
+        zero,
+        zero,
+        jnp.full((b,), -jnp.inf, jnp.float32) + zf[:, 0],
+        jnp.zeros((b,), jnp.float32) + zf[:, 0],
+        jnp.zeros((b, h_dim), jnp.float32) + zf,
+    )
+    (_, _, _, _, _, l, acc), _ = jax.lax.scan(step, init, (x_tbc, live2))
+    return acc / l[:, None]
+
+
 def _rrelu(
     x: jnp.ndarray,
     config: DecoderConfig,
@@ -295,6 +424,13 @@ def decoder_apply(
     rec_dtype = jnp.dtype(config.recurrence_dtype)
     out = x
     if not train and config.fused_scan and len(params["lstm"]) == 2:
+        if config.streaming_scan:
+            pooled = _lstm_two_layer_streaming(
+                params, out, precision, rec_dtype, config.gate_math
+            )
+            return _head_from_pooled(
+                params, pooled, config, train, rngs, precision
+            )
         out = _lstm_two_layer_fused(
             params["lstm"], out, precision, rec_dtype, config.gate_math
         )
@@ -320,7 +456,12 @@ def _head(params, out, config, train, rngs, precision):
     scores = scores + params["attn"]["b"]
     weights = jax.nn.softmax(scores, axis=1)
     pooled = jnp.einsum("bth,bt->bh", out, weights, precision=precision)
+    return _head_from_pooled(params, pooled, config, train, rngs, precision)
 
+
+def _head_from_pooled(params, pooled, config, train, rngs, precision):
+    """LayerNorm + MLP head on already-pooled features. [B, H] ->
+    [B, classes] (the streaming scan pools online in its carry)."""
     # LayerNorm (torch: biased variance, eps inside sqrt).
     mean = jnp.mean(pooled, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(pooled - mean), axis=-1, keepdims=True)

@@ -66,6 +66,41 @@ def test_fused_two_layer_scan_matches_per_layer(params, dataset):
         np.testing.assert_allclose(fused, base, rtol=1e-4, atol=1e-5)
 
 
+def test_streaming_scan_matches_per_layer(params, dataset):
+    """The streaming eval scan (input projection folded into the fused
+    per-step matmul + online attention pooling in the carry,
+    DecoderConfig.streaming_scan) is the same math as the per-layer scan
+    up to summation-order rounding — for both gate maths and for the bf16
+    turbo recurrence (argmax parity there; bf16 reordering is coarser)."""
+    import dataclasses
+
+    filtered = np.asarray(mai_filter_batch(dataset.windows[:8], FilterConfig()))
+    for gate_math in ("rational", "builtin"):
+        base_cfg = DecoderConfig(
+            gate_math=gate_math, fused_scan=False, streaming_scan=False
+        )
+        stream_cfg = dataclasses.replace(
+            base_cfg, fused_scan=True, streaming_scan=True
+        )
+        base = np.asarray(
+            jax.jit(lambda x: decoder_logits(params, x, base_cfg))(filtered)
+        )
+        stream = np.asarray(
+            jax.jit(lambda x: decoder_logits(params, x, stream_cfg))(filtered)
+        )
+        np.testing.assert_allclose(stream, base, rtol=1e-4, atol=1e-5)
+
+    turbo_fused = DecoderConfig(recurrence_dtype="bfloat16", streaming_scan=False)
+    turbo_stream = dataclasses.replace(turbo_fused, streaming_scan=True)
+    a = np.asarray(
+        jax.jit(lambda x: decoder_logits(params, x, turbo_fused))(filtered)
+    )
+    b = np.asarray(
+        jax.jit(lambda x: decoder_logits(params, x, turbo_stream))(filtered)
+    )
+    assert (a.argmax(1) == b.argmax(1)).all()
+
+
 def test_random_init_forward_shape():
     cfg = DecoderConfig()
     from neural_speech_decoding_tpu.models.lstm import init_decoder_params

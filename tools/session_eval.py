@@ -104,12 +104,54 @@ def session_accuracy_feature_avg(
     return float((pred == truth).mean())
 
 
+def crop_features(
+    windows_raw: np.ndarray,
+    member_params,
+    featurize_fn,
+    filter_fn,
+    *,
+    crop_seconds: float,
+    crop_hop_seconds: float,
+    sample_rate: int = 125,
+    include_full: bool = True,
+) -> np.ndarray:
+    """Test-time TIME-CROP aggregation (VERDICT r4 #4): decode overlapping
+    sub-windows of each raw trial and average their tangent features.
+
+    Protocol-honest: each crop is filtered as its own window (a live
+    crop_seconds window would be), then featurized with the fold's fitted
+    whitener; crop features are averaged per trial (plus the full window
+    itself when include_full). Cheap on the covariance path (the band
+    projector is built from the crop's own T, covariances are
+    2/T^2-normalized) and needs no retraining. Returns [n_trials, F]."""
+    import jax.numpy as jnp
+
+    t = windows_raw.shape[1]
+    crop_len = max(1, int(crop_seconds * sample_rate))
+    hop = max(1, int(crop_hop_seconds * sample_rate))
+    offsets = list(range(0, t - crop_len + 1, hop))
+    crops = [windows_raw[:, o : o + crop_len] for o in offsets]
+    if include_full and crop_len != t:
+        crops.append(windows_raw)
+    # crossval member whiteners are a deterministic function of the fold's
+    # clean training windows — identical across member seeds — so one
+    # member's params featurize for all (same invariant crossval exploits)
+    p0 = member_params[0]
+    feats = [
+        np.asarray(featurize_fn(p0, filter_fn(jnp.asarray(c))))
+        for c in crops
+    ]
+    return np.mean(feats, axis=0)
+
+
 def evaluate(
     cv_json: str,
     n_windows: int = 10,
     draws: int = 2000,
     sample_seed: int = 123,
     with_reference: bool = True,
+    crop_seconds: float = 0.0,
+    crop_hop_seconds: float = 0.5,
 ) -> dict:
     detail = json.loads(Path(cv_json).read_text())
     fold_detail = detail.get("fold_detail")
@@ -156,6 +198,7 @@ def evaluate(
     # feature-space aggregation (only when the CV run stored held-out
     # features + member head params — featurizing single-family runs)
     head_fn = None
+    featurize_fn = filter_fn = None
     if all(
         "val_features" in fd and "member_nested_params" in fd
         for fd in fold_detail
@@ -166,6 +209,10 @@ def evaluate(
                 spec.head_apply(p, f, train=False), axis=-1
             )
         )
+        if crop_seconds > 0 and spec.featurize is not None:
+            fcfg = FilterConfig(precision="fast")
+            featurize_fn = jax.jit(spec.featurize)
+            filter_fn = lambda w: mai_filter_batch(w, fcfg)  # noqa: E731
 
     def _params_from_lists(obj):
         if isinstance(obj, dict):
@@ -175,6 +222,7 @@ def evaluate(
     rng = np.random.default_rng(sample_seed)
     rows = {
         "ours": [], "ours_featavg": [], "ours_window": [],
+        "crop": [], "crop_featavg": [], "crop_window": [],
         "ref": [], "ref_window": [],
     }
     fold_n_per_class = []
@@ -206,6 +254,36 @@ def evaluate(
                     n_windows=n_windows, draws=draws, rng=rng,
                 )
             )
+            if featurize_fn is not None:
+                import jax.numpy as jnp
+
+                cfeats = crop_features(
+                    ds.windows[val_idx], member_params, featurize_fn,
+                    filter_fn, crop_seconds=crop_seconds,
+                    crop_hop_seconds=crop_hop_seconds,
+                )
+                cprobs = np.mean(
+                    [
+                        np.asarray(head_fn(p, jnp.asarray(cfeats)))
+                        for p in member_params
+                    ],
+                    axis=0,
+                )
+                rows["crop"].append(
+                    session_accuracy_from_probs(
+                        cprobs, y_val, n_windows=n_windows, draws=draws,
+                        rng=rng,
+                    )
+                )
+                rows["crop_window"].append(
+                    float((cprobs.argmax(1) == y_val).mean())
+                )
+                rows["crop_featavg"].append(
+                    session_accuracy_feature_avg(
+                        cfeats, y_val, member_params, head_fn,
+                        n_windows=n_windows, draws=draws, rng=rng,
+                    )
+                )
         if ref_probs_fn is not None:
             rp = ref_probs_fn(filtered[val_idx])
             rows["ref"].append(
@@ -227,6 +305,13 @@ def evaluate(
         "model": detail["model"],
         "n_windows": n_windows,
         "draws_per_class_per_fold": draws,
+        "crop_seconds": crop_seconds if featurize_fn is not None else None,
+        "crop_hop_seconds": (
+            crop_hop_seconds if featurize_fn is not None else None
+        ),
+        "session_crop": agg(rows["crop"]),
+        "session_crop_feature_avg": agg(rows["crop_featavg"]),
+        "per_window_crop": agg(rows["crop_window"]),
         # the real sample size behind the resampled draws: held-out
         # windows per class per fold (draws are overlapping subsets of
         # these — fold-level n is what limits the error bar)
@@ -246,6 +331,11 @@ def main() -> None:
                     help="windows per session draw (reference: 10 trials)")
     ap.add_argument("--draws", type=int, default=2000)
     ap.add_argument("--sample-seed", type=int, default=123)
+    ap.add_argument("--crop-seconds", type=float, default=0.0,
+                    help="test-time time-crop aggregation: average tangent "
+                         "features over overlapping sub-windows of this "
+                         "length (0 = off; featurizing families only)")
+    ap.add_argument("--crop-hop-seconds", type=float, default=0.5)
     ap.add_argument("--json", default=None)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -257,7 +347,9 @@ def main() -> None:
     out = []
     for cv in args.cv_jsons:
         r = evaluate(cv, n_windows=args.windows, draws=args.draws,
-                     sample_seed=args.sample_seed)
+                     sample_seed=args.sample_seed,
+                     crop_seconds=args.crop_seconds,
+                     crop_hop_seconds=args.crop_hop_seconds)
         out.append(r)
         s, w = r["session"], r["per_window"]
         print(f"{r['model']} ({Path(cv).name}):")
@@ -268,6 +360,13 @@ def main() -> None:
             f = r["session_feature_avg"]
             print(f"  session (feature-space avg):       "
                   f"{f['mean']:.3f} ± {f['std']:.3f}")
+        if r["session_crop"]:
+            c, cw = r["session_crop"], r["per_window_crop"]
+            cf = r["session_crop_feature_avg"]
+            print(f"  session (crop {args.crop_seconds:.1f}s avg):        "
+                  f"{c['mean']:.3f} ± {c['std']:.3f}   "
+                  f"(per-window {cw['mean']:.3f}; "
+                  f"crop+feat-avg {cf['mean']:.3f} ± {cf['std']:.3f})")
         ns = [min(d.values()) for d in r["fold_n_per_class"]]
         print(f"  held-out windows/class/fold (min): {ns}")
         if r["reference_session"]:
