@@ -283,12 +283,20 @@ def _lstm_two_layer_streaming(
       rounding differs by ~1 ulp, same class of reordering as the fused
       scan's layer-2 projection), so each step reads x_t [B, C] from HBM
       instead of xp_t [B, 4H];
-    * attention pooling runs ONLINE in the carry (flash-attention-style
-      streaming softmax): per step the layer-2 output contributes
-      score s_t = h2_t . w_attn + b, and (m, l, acc) carry the running
-      max, exp-sum, and exp-weighted h2 sum. pooled = acc / l equals the
-      two-pass softmax-weighted sum up to summation order, and hs never
-      materializes.
+    * attention pooling runs ONLINE in the carry (streaming softmax): per
+      step the layer-2 output contributes score s_t = h2_t . w_attn + b,
+      and (l, acc) carry the exp-sum and exp-weighted h2 sum. Instead of
+      a flash-attention running max, the shift is the CONSTANT upper
+      bound S = b + ||w_attn||_1 (LSTM outputs satisfy |h2| < 1, so
+      s_t <= S always): exp(s_t - S) never overflows, and pooled =
+      acc / l is the exact two-pass softmax-weighted sum up to summation
+      order — ONE exp per step and no rescaling chain. (A running-max
+      variant was measured at 2.45e-4 on-chip model dlogit vs this
+      form's ~2e-5: every max update rescales acc/l through another TPU
+      VPU exp, and those errors compound across the 625 steps.) Models
+      with extreme attention norms (exp(-2 ||w_attn||_1) underflowing
+      f32) should set streaming_scan=False; the shipped checkpoint's
+      ||w_attn||_1 is ~2.
 
     Pipelining and gate math are identical to _lstm_two_layer_fused:
     layer 2 consumes layer 1's previous step from the carry, the scan
@@ -332,12 +340,16 @@ def _lstm_two_layer_streaming(
 
     attn_w = params["attn"]["w"].astype(jnp.float32)
     attn_b = params["attn"]["b"].astype(jnp.float32)
+    # constant softmax shift: s_t = h2 . w + b with |h2| < 1 bounds
+    # s_t < b + ||w||_1 = S, so exp(s_t - S) is always in (0, 1] — no
+    # running max, no rescaling (see the docstring's fidelity note)
+    shift = attn_b + jnp.sum(jnp.abs(attn_w))
 
     # layer 2 has nothing to consume at combined step 0
     live2 = jnp.arange(t + 1) >= 1
 
     def step(carry, inp):
-        h1, c1, h2, c2, m, l, acc = carry
+        h1, c1, h2, c2, l, acc = carry
         x_t, v2 = inp
         hh = jnp.matmul(
             jnp.concatenate([h1, h2, x_t], axis=-1), w, precision=precision
@@ -360,14 +372,10 @@ def _lstm_two_layer_streaming(
             jnp.matmul(h2f, attn_w[:, None], precision=precision)[:, 0]
             + attn_b
         )
-        m_new = jnp.where(v2, jnp.maximum(m, s_t), m)
-        # masked steps make m - m_new = -inf - -inf = NaN inside exp;
-        # the jnp.where on the carry discards it (select, not multiply)
-        alpha = jnp.exp(m - m_new)
-        wgt = jnp.exp(s_t - m_new)
-        l_new = jnp.where(v2, l * alpha + wgt, l)
-        acc_new = jnp.where(v2, acc * alpha[:, None] + wgt[:, None] * h2f, acc)
-        return (h1_new, c1_new, h2_new, c2_new, m_new, l_new, acc_new), None
+        wgt = jnp.exp(s_t - shift)
+        l_new = jnp.where(v2, l + wgt, l)
+        acc_new = jnp.where(v2, acc + wgt[:, None] * h2f, acc)
+        return (h1_new, c1_new, h2_new, c2_new, l_new, acc_new), None
 
     zero = (
         jnp.zeros((b, h_dim), recurrence_dtype)
@@ -379,11 +387,10 @@ def _lstm_two_layer_streaming(
         zero,
         zero,
         zero,
-        jnp.full((b,), -jnp.inf, jnp.float32) + zf[:, 0],
         jnp.zeros((b,), jnp.float32) + zf[:, 0],
         jnp.zeros((b, h_dim), jnp.float32) + zf,
     )
-    (_, _, _, _, _, l, acc), _ = jax.lax.scan(step, init, (x_tbc, live2))
+    (_, _, _, _, l, acc), _ = jax.lax.scan(step, init, (x_tbc, live2))
     return acc / l[:, None]
 
 

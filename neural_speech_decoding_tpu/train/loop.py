@@ -81,14 +81,26 @@ def _as_apply_fn(model) -> Callable:
     raise TypeError(f"cannot build apply fn from {type(model)}")
 
 
-def _loss_fn(params, batch_x, batch_y, rng, apply_fn, label_smoothing: float):
+def _loss_fn(
+    params, batch_x, batch_y, rng, apply_fn, label_smoothing: float,
+    class_weights=None,
+):
     logits = apply_fn(params, batch_x, train=True, rng=rng)
     n_cls = logits.shape[-1]
     onehot = jax.nn.one_hot(batch_y, n_cls, dtype=logits.dtype)
     if label_smoothing > 0:
         onehot = onehot * (1 - label_smoothing) + label_smoothing / n_cls
     logp = jax.nn.log_softmax(logits, axis=-1)
-    loss = -jnp.mean(jnp.sum(onehot * logp, axis=-1))
+    per_example = -jnp.sum(onehot * logp, axis=-1)
+    if class_weights is not None:
+        # class-balanced cross-entropy: weight each example by its class's
+        # inverse frequency (normalized so a balanced batch keeps loss
+        # scale). The dataset's background class has 40 trials vs ~70 for
+        # the others (SURVEY.md §2.5) — unweighted CE under-trains it.
+        w = jnp.asarray(class_weights, logp.dtype)[batch_y]
+        loss = jnp.sum(w * per_example) / jnp.maximum(jnp.sum(w), 1e-9)
+    else:
+        loss = jnp.mean(per_example)
     acc = jnp.mean((jnp.argmax(logits, -1) == batch_y).astype(jnp.float32))
     return loss, acc
 
@@ -97,18 +109,22 @@ def make_train_step(
     model,
     optimizer: optax.GradientTransformation,
     label_smoothing: float = 0.0,
+    class_weights=None,
 ) -> Callable:
     """Build the jittable train step for any model family:
     (params, opt_state, x [B,T,C], y [B], rng) -> (params, opt_state, metrics)
 
     `model`: DecoderConfig | registry ModelSpec | normalized apply callable.
+    `class_weights`: optional per-class loss weights (tuple, one per class)
+    for class-balanced CE; None keeps the unweighted mean.
     """
     apply_fn = _as_apply_fn(model)
+    class_weights = tuple(class_weights) if class_weights is not None else None
 
     def step(params, opt_state, x, y, rng):
         (loss, acc), grads = jax.value_and_grad(
             _loss_fn, has_aux=True
-        )(params, x, y, rng, apply_fn, label_smoothing)
+        )(params, x, y, rng, apply_fn, label_smoothing, class_weights)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, "accuracy": acc}

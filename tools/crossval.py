@@ -84,6 +84,7 @@ def run_crossval(
     protocol: str = "nested",
     seeds: int = 1,
     model_kw: Optional[dict] = None,
+    class_weight: str = "none",
     verbose: bool = True,
 ) -> dict:
     """K-fold CV of one configuration; returns the summary dict (the
@@ -115,6 +116,16 @@ def run_crossval(
     filtered = np.asarray(mai_filter_batch(ds.windows, fcfg))
     ref = load_decoder_params(REFERENCE_CKPT)
     lstm_spec = get_model("lstm")
+
+    # class-balanced CE (--class-weight balanced): inverse-frequency
+    # weights from the GLOBAL class counts (a dataset property — the
+    # 40-trial background class vs ~70 for the others — and constant
+    # across folds, so every fold shares one compiled step)
+    class_weights = None
+    if class_weight == "balanced":
+        counts = ds.class_counts().astype(np.float64)
+        w = counts.sum() / (len(counts) * np.maximum(counts, 1))
+        class_weights = tuple(float(v) for v in w)
 
     from neural_speech_decoding_tpu.train.augment import (
         ALL_KINDS,
@@ -199,7 +210,10 @@ def run_crossval(
             )
             optimizer = _optimizer(opt_cfg, steps_per_epoch)
             step_fn = jax.jit(
-                make_train_step(_model_for(family), optimizer, label_smoothing),
+                make_train_step(
+                    _model_for(family), optimizer, label_smoothing,
+                    class_weights=class_weights,
+                ),
                 donate_argnums=(0, 1),
             )
             _step_cache[key] = (step_fn, optimizer)
@@ -423,6 +437,7 @@ def run_crossval(
             "label_smoothing": label_smoothing, "lr": lr,
             "schedule": schedule, "seed": seed, "seeds": seeds,
             "model_kw": model_kw or {},
+            "class_weight": class_weight,
         },
     }
     n_members = len(families) * seeds
@@ -455,6 +470,11 @@ def main() -> None:
     ap.add_argument("--augment", type=float, default=0.5)
     ap.add_argument("--aug-kinds", default="noise", choices=("noise", "all"))
     ap.add_argument("--label-smoothing", type=float, default=0.1)
+    ap.add_argument(
+        "--class-weight", default="none", choices=("none", "balanced"),
+        help="'balanced' = inverse-frequency class-weighted CE (global "
+             "dataset counts; targets the 40-trial background class)",
+    )
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--schedule", default="constant", choices=("constant", "cosine"))
     ap.add_argument("--seed", type=int, default=0)
@@ -484,6 +504,7 @@ def main() -> None:
         label_smoothing=args.label_smoothing, lr=args.lr,
         schedule=args.schedule, seed=args.seed, protocol=args.protocol,
         seeds=args.seeds, model_kw=parse_model_kw(args.model_kw),
+        class_weight=args.class_weight,
     )
     if args.json:
         Path(args.json).write_text(json.dumps(summary, indent=2))

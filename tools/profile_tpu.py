@@ -56,45 +56,59 @@ def main():
     dcfg = DecoderConfig()
     b = args.batch
 
+    import dataclasses
+
+    from neural_speech_decoding_tpu.ops.kuramoto import mai_filter_batch
+
     trivial = jax.jit(lambda x: x + 1.0)
     rtt = bench(trivial, jnp.ones((8, 8)), iters=5)
     print(f"tunnel rtt ~{rtt * 1e3:.1f} ms (subtract from everything below)")
 
-    filter_fn = jax.jit(
+    filter_stages = jax.jit(
         lambda w: jnp.sum(jax.vmap(lambda x: mai_filter(x, fcfg))(w), axis=(1, 2))
     )
-    lstm_fn = jax.jit(lambda p, w: decoder_apply(p, w, dcfg))
+    # the serving front door: fused Pallas operator kernel on TPU
+    filter_kernel = jax.jit(
+        lambda w: jnp.sum(mai_filter_batch(w, fcfg), axis=(1, 2))
+    )
     full_fn = jax.jit(
         lambda p, w: jax.nn.softmax(
-            decoder_apply(p, jax.vmap(lambda x: mai_filter(x, fcfg))(w), dcfg), -1
+            decoder_apply(p, mai_filter_batch(w, fcfg), dcfg), -1
         )
     )
 
-    filtered = jnp.asarray(
-        np.asarray(jax.jit(lambda w: jax.vmap(lambda x: mai_filter(x, fcfg))(w))(batch))
-    )
+    filtered = jnp.asarray(np.asarray(mai_filter_batch(batch, fcfg)))
 
-    t_filter = bench(filter_fn, batch)
-    t_lstm = bench(lstm_fn, params, filtered)
-    t_full = bench(full_fn, params, batch)
     print(f"B={b}")
-    print(f"  filter-only : {t_filter * 1e3:8.2f} ms  ({b / t_filter:10.0f} w/s)")
-    print(f"  lstm(scan)  : {t_lstm * 1e3:8.2f} ms  ({b / t_lstm:10.0f} w/s)")
-    print(f"  full(scan)  : {t_full * 1e3:8.2f} ms  ({b / t_full:10.0f} w/s)")
+    for name, fn in (("stages", filter_stages), ("kernel", filter_kernel)):
+        t = bench(fn, batch)
+        print(f"  filter({name:6s}): {t * 1e3:8.2f} ms  ({b / t:10.0f} w/s)")
 
-    # bf16 turbo decode for the speed-ceiling comparison
-    turbo_cfg = DecoderConfig(recurrence_dtype="bfloat16")
-    turbo_fn = jax.jit(lambda p, w: decoder_apply(p, w, turbo_cfg))
-    try:
-        t_turbo = bench(turbo_fn, params, filtered)
-        print(f"  lstm(bf16)  : {t_turbo * 1e3:8.2f} ms  ({b / t_turbo:10.0f} w/s)")
-    except Exception as e:
-        print(f"  lstm(bf16)  : FAIL {str(e)[:110]}")
+    # eval-scan variants: streaming (default), materializing fused,
+    # per-layer, and the bf16 turbo recurrence on the streaming scan
+    scan_cfgs = (
+        ("stream", dcfg),
+        ("fused", dataclasses.replace(dcfg, streaming_scan=False)),
+        ("per-layer", dataclasses.replace(
+            dcfg, fused_scan=False, streaming_scan=False)),
+        ("bf16-stream", dataclasses.replace(
+            dcfg, recurrence_dtype="bfloat16")),
+    )
+    for name, cfg in scan_cfgs:
+        fn = jax.jit(lambda p, w, cfg=cfg: decoder_apply(p, w, cfg))
+        try:
+            t = bench(fn, params, filtered)
+            print(f"  lstm({name:9s}): {t * 1e3:8.2f} ms  ({b / t:10.0f} w/s)")
+        except Exception as e:
+            print(f"  lstm({name:9s}): FAIL {str(e)[:110]}")
+
+    t_full = bench(full_fn, params, batch)
+    print(f"  full(default) : {t_full * 1e3:8.2f} ms  ({b / t_full:10.0f} w/s)")
 
     # batch-1 latency (dominated by tunnel rtt here; device time = delta)
     one = batch[:1]
     t1 = bench(full_fn, params, one, iters=10)
-    print(f"  batch-1 full: scan {t1 * 1e3:.2f} ms | rtt {rtt * 1e3:.2f} ms")
+    print(f"  batch-1 full: {t1 * 1e3:.2f} ms | rtt {rtt * 1e3:.2f} ms")
 
 
 def main_logcov():
