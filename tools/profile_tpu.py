@@ -267,15 +267,13 @@ def main_lru():
     args = ap.parse_args()
     b = args.batch
 
+    from neural_speech_decoding_tpu.ops.kuramoto import mai_filter_batch
+
     windows = load_trials().windows
     reps = int(np.ceil(b / windows.shape[0]))
     fcfg = FilterConfig(precision="fast")
     raw = jnp.asarray(np.tile(windows, (reps, 1, 1))[:b])
-    filtered = jnp.asarray(
-        np.asarray(
-            jax.jit(lambda w: jax.vmap(lambda x: mai_filter(x, fcfg))(w))(raw)
-        )
-    )
+    filtered = jnp.asarray(np.asarray(mai_filter_batch(raw, fcfg)))
 
     trivial = jax.jit(lambda x: x + 1.0)
     rtt = bench(trivial, jnp.ones((8, 8)), iters=5)
@@ -312,12 +310,12 @@ def main_lru():
             f"({b / t_apply:9.0f} w/s){tag}"
         )
 
-    # end-to-end decode (filter + lru) for the serving-table row
+    # end-to-end decode (filter + lru) for the serving-table row — through
+    # the serving front door (fused Pallas filter kernel on TPU)
     full = jax.jit(
         lambda p, w: jax.nn.softmax(
             m.lru_apply(
-                p, jax.vmap(lambda x: mai_filter(x, fcfg))(w),
-                m.LRUConfig(), train=False,
+                p, mai_filter_batch(w, fcfg), m.LRUConfig(), train=False
             ),
             -1,
         )
