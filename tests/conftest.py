@@ -28,7 +28,10 @@ jax.config.update("jax_enable_x64", True)
 # program + flags, so correctness is unaffected. Opt out with
 # NSD_TEST_NO_COMPILE_CACHE=1 (e.g. when bisecting compiler issues).
 if not os.environ.get("NSD_TEST_NO_COMPILE_CACHE"):
-    jax.config.update("jax_compilation_cache_dir", "/tmp/nsd_jax_test_cache")
+    _cache_dir = os.environ.get(
+        "NSD_TEST_COMPILE_CACHE_DIR", "/tmp/nsd_jax_test_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from pathlib import Path  # noqa: E402
