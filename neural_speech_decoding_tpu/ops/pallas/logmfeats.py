@@ -70,6 +70,7 @@ def _fused_kernel(
     hi: float,
     guard_g: float | None,
     logm: str = "chebyshev",
+    unroll_poles: bool = True,
 ):
     """Kernel body. Blocks: grams [nb*P, L], traces [nb, L] (already
     scaled by 2/T^2), wwt [nb*P, L] (lane-broadcast constant rows);
@@ -186,8 +187,20 @@ def _fused_kernel(
                 units = [
                     (coliota == k).astype(a_2d[0].dtype) for k in range(c)
                 ]
-                out_rows = [coeffs_ref[0] * units[k] for k in range(c)]
-                for j in range(degree):
+                # The `degree` resolvent poles are INDEPENDENT GJ
+                # eliminations sharing one accumulator, and the two forms
+                # below evaluate them with an identical per-pole op
+                # sequence and accumulation order (bit-equal results):
+                #  - compiled TPU path: Python-unrolled, so Mosaic can
+                #    interleave the 12 serial pivot chains for ILP — the
+                #    fori_loop form serializes them and stalls the VPU
+                #    (measured 235.8 ms vs ~7 ms feats at B=16384,
+                #    2026-08-19);
+                #  - interpret path: lax.fori_loop traces the body ONCE
+                #    (same dynamic-SMEM-read pattern as the Clenshaw loop
+                #    below) — the unrolled form compiled a 50k-equation
+                #    interpret graph (20+ min XLA:CPU cold compile).
+                def pole_step(j, out_rows):
                     p = coeffs_ref[1 + j]
                     m_rows = [a_2d[k] - p * units[k] for k in range(c)]
                     inv_rows = list(units)
@@ -205,9 +218,20 @@ def _fused_kernel(
                             m_rows[k] = m_rows[k] - g * mrow
                             inv_rows[k] = inv_rows[k] - g * vrow
                     v = coeffs_ref[1 + degree + j]
-                    out_rows = [
+                    return tuple(
                         out_rows[k] + v * inv_rows[k] for k in range(c)
-                    ]
+                    )
+
+                out_rows = tuple(
+                    coeffs_ref[0] * units[k] for k in range(c)
+                )
+                if unroll_poles:
+                    for j in range(degree):
+                        out_rows = pole_step(j, out_rows)
+                else:
+                    out_rows = jax.lax.fori_loop(
+                        0, degree, pole_step, out_rows
+                    )
 
                 def out_entry(i, j):
                     return out_rows[i][j : j + 1, :]  # [1, L]
@@ -294,7 +318,10 @@ def _fused_batched(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     rows, m = g_rows.shape
     return pl.pallas_call(
-        _fused_kernel(c, nb, degree, scale, alpha, lo, hi, guard_g, logm),
+        _fused_kernel(
+            c, nb, degree, scale, alpha, lo, hi, guard_g, logm,
+            unroll_poles=not interpret,
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((rows, m), g_rows.dtype),
             jax.ShapeDtypeStruct((nb, m), g_rows.dtype),
