@@ -99,6 +99,14 @@ class DecoderConfig:
     # lax.scan unroll factor for the per-layer recurrence (the training
     # path): >1 trades HLO size for fewer loop trips. Must divide T.
     scan_unroll: int = 1
+    # lax.scan unroll factor for the STREAMING eval scan (need not divide
+    # T+1; jax handles the remainder). Replicating the step body lets XLA
+    # overlap the next step's gate math with the current step's matmul.
+    # Measured on chip at B=16384 (2026-08-19, two runs): bf16 turbo
+    # 574k -> 610-621k windows/s (+6-8%, consistent) at unroll 4-8, f32
+    # flat within the ~3-5% run-to-run spread; logits shift <=7e-7 dprob
+    # in f32 (pinned by tests/test_model_golden.py unroll-parity test).
+    eval_scan_unroll: int = 4
     # gradient rematerialization over the recurrence: split the T-step
     # scan into this many jax.checkpoint-ed chunks (outer scan over
     # chunks, inner scan over T/chunks steps). Backward recomputes each

@@ -264,6 +264,7 @@ def _lstm_two_layer_streaming(
     precision,
     recurrence_dtype=jnp.float32,
     gate_math: str = "rational",
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Both LSTM layers + attention pooling in ONE pipelined scan with no
     [T, B, ·] intermediate in HBM. [B, T, C] -> pooled [B, H] (f32).
@@ -390,7 +391,9 @@ def _lstm_two_layer_streaming(
         jnp.zeros((b,), jnp.float32) + zf[:, 0],
         jnp.zeros((b, h_dim), jnp.float32) + zf,
     )
-    (_, _, _, _, l, acc), _ = jax.lax.scan(step, init, (x_tbc, live2))
+    (_, _, _, _, l, acc), _ = jax.lax.scan(
+        step, init, (x_tbc, live2), unroll=unroll
+    )
     return acc / l[:, None]
 
 
@@ -433,7 +436,8 @@ def decoder_apply(
     if not train and config.fused_scan and len(params["lstm"]) == 2:
         if config.streaming_scan:
             pooled = _lstm_two_layer_streaming(
-                params, out, precision, rec_dtype, config.gate_math
+                params, out, precision, rec_dtype, config.gate_math,
+                unroll=config.eval_scan_unroll,
             )
             return _head_from_pooled(
                 params, pooled, config, train, rngs, precision

@@ -101,6 +101,25 @@ def test_streaming_scan_matches_per_layer(params, dataset):
     assert (a.argmax(1) == b.argmax(1)).all()
 
 
+def test_streaming_scan_unroll_parity(params, dataset):
+    """`DecoderConfig.eval_scan_unroll` on the streaming eval scan
+    replicates the step body without changing its per-step op order —
+    logits must match unroll=1 to float tolerance (models/lstm.py:393)."""
+    import dataclasses
+
+    filtered = np.asarray(mai_filter_batch(dataset.windows[:8], FilterConfig()))
+    base_cfg = DecoderConfig(streaming_scan=True, eval_scan_unroll=1)
+    base = np.asarray(
+        jax.jit(lambda x: decoder_logits(params, x, base_cfg))(filtered)
+    )
+    for unroll in (2, 4):
+        cfg = dataclasses.replace(base_cfg, eval_scan_unroll=unroll)
+        out = np.asarray(
+            jax.jit(lambda x: decoder_logits(params, x, cfg))(filtered)
+        )
+        np.testing.assert_allclose(out, base, rtol=1e-5, atol=1e-6)
+
+
 def test_random_init_forward_shape():
     cfg = DecoderConfig()
     from neural_speech_decoding_tpu.models.lstm import init_decoder_params
