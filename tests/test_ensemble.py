@@ -227,7 +227,9 @@ def test_mixed_family_explicit_families_matches_inferred(mixed_members, dataset)
     explicit = EnsembleEngine(
         paths, model="logcov8+logcov12", model_kw=MIX_KW, families=families
     )
-    w = dataset.windows[:3]
+    # 8 windows on purpose: shares the bucket-8 pipeline compile with the
+    # other mixed-family tests (cold-cache suite time, CLAUDE.md dev loop)
+    w = dataset.windows[:8]
     np.testing.assert_allclose(
         inferred.predict_batch(w), explicit.predict_batch(w), atol=1e-6
     )
@@ -249,7 +251,8 @@ def test_mixed_family_manifest_roundtrip(mixed_members, dataset, tmp_path):
     }))
     ens = EnsembleEngine.from_manifest(str(manifest))
     direct = EnsembleEngine(paths, model="logcov8+logcov12", model_kw=MIX_KW)
-    w = dataset.windows[:2]
+    # bucket-8 slice: reuses the pipeline compiled by the mean test
+    w = dataset.windows[:8]
     np.testing.assert_allclose(
         ens.predict_batch(w), direct.predict_batch(w), atol=1e-6
     )
@@ -327,7 +330,9 @@ def test_median_combine_mixed_family(mixed_members, dataset):
     from tools.aggregator_study import aggregate
 
     paths, families = mixed_members
-    windows = dataset.windows[:4]
+    # bucket-8 slice: the member InferenceEngines and the median pipeline
+    # then share batch geometry with the rest of the mixed-family tests
+    windows = dataset.windows[:8]
     med = EnsembleEngine(
         paths, model="logcov8+logcov12", model_kw=MIX_KW, combine="median"
     )
